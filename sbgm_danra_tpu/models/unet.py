@@ -1,0 +1,419 @@
+"""Conditional score UNet (Flax, NHWC).
+
+TPU-native re-design of the reference's conditional score network
+(sbgm/score_unet.py:151-879): a ResNet-18-style encoder over the channel-concat
+of [noised HR, lsm value||mask, topo value||mask, LR conditions], per-stage
+additive time projections, self-attention on the two coarsest encoder stages and
+the two lowest-resolution decoder blocks, a resize-conv decoder with skip-adds,
+a norm/activation-free head, and a final division by the VE marginal std.
+
+Topology parity targets (checked by tests/test_model.py):
+- five encoder feature maps with channels [64, 64, 128, 256, 512] at strides
+  [2, 4, 4, 8, 16, 32] of the input (reference :198, :312-361);
+- 17,511,874 trainable parameters in the reference configuration (128x128,
+  2 LR conditions, lsm+topo geo, 4 seasons; BASELINE.md);
+- label embedding has num_classes+1 rows with row 0 (the CFG null token)
+  zero-initialized but trainable (reference :222-226).
+
+TPU-first choices:
+- NHWC everywhere; channel concat and the token reshape for attention are free;
+- explicit conv padding replicating torch geometry (torch pads 3x3/s2 as (1,1));
+- optional bfloat16 compute (params float32);
+- attention backend switchable to the Pallas flash kernel;
+- BatchNorm can sync across a mesh axis (``bn_axis_name``) for data-parallel
+  training — the reference is single-device and has no equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sbgm_danra_tpu.models.attention import SpatialSelfAttention
+from sbgm_danra_tpu.models.embeddings import GaussianFourierEmbedding
+from sbgm_danra_tpu.models.resnet import BatchNorm, ResNetStage
+
+Array = jax.Array
+
+_ACTIVATIONS = {
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "gelu": nn.gelu,
+    "identity": lambda x: x,
+}
+
+
+def _time_projection(temb: Array, features: int, name: str, dtype=jnp.float32) -> Array:
+    """SiLU -> Dense(features): the reference's per-stage time projection
+    (sbgm/score_unet.py:367-383)."""
+    return nn.Dense(features, dtype=dtype, name=name)(nn.silu(temb))
+
+
+class Encoder(nn.Module):
+    """ResNet-backbone encoder returning 5 feature maps (reference :151-404)."""
+
+    time_embedding: int = 256
+    block_layers: Sequence[int] = (2, 2, 2, 2)
+    n_heads: int = 4
+    num_classes: Optional[int] = None
+    fmap_channels: Sequence[int] = (64, 64, 128, 256, 512)
+    attention_backend: str = "xla"
+    compute_dtype: jnp.dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t: Array,
+        y: Optional[Array] = None,
+        cond_img: Optional[Array] = None,
+        lsm_cond: Optional[Array] = None,
+        topo_cond: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, ...]:
+        # Conditioning enters as channel concat, in the reference's order
+        # (noised HR, lsm, topo, LR conditions — :273-291).
+        parts = [x]
+        if lsm_cond is not None:
+            parts.append(lsm_cond)
+        if topo_cond is not None:
+            parts.append(topo_cond)
+        if cond_img is not None:
+            parts.append(cond_img)
+        x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
+
+        temb = GaussianFourierEmbedding(self.time_embedding, name="time_embed")(t)
+        if self.num_classes is not None and y is not None:
+            # num_classes + 1 rows; row 0 is the CFG null token, zero-initialized
+            # but trainable (reference :222-226).
+            def _label_init(key, shape, dtype=jnp.float32):
+                emb = jax.random.normal(key, shape, dtype)
+                return emb.at[0].set(0.0)
+
+            label_emb = nn.Embed(
+                self.num_classes + 1,
+                self.time_embedding,
+                embedding_init=_label_init,
+                name="label_emb",
+            )
+            temb = temb + label_emb(y.astype(jnp.int32))
+
+        dtype = self.compute_dtype
+        chans = list(self.fmap_channels)
+        n_maps = len(chans)
+
+        def stride2_conv8(features: int, name: str):
+            # torch Conv2d(k=8, s=2, p=3, bias=False) geometry (reference :206-219).
+            return nn.Conv(
+                features,
+                kernel_size=(8, 8),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=dtype,
+                name=name,
+            )
+
+        def add_temb(fmap: Array, idx: int) -> Array:
+            proj = _time_projection(temb, fmap.shape[-1], f"time_proj{idx}", dtype)
+            return fmap + proj[:, None, None, :].astype(fmap.dtype)
+
+        def maybe_attend(fmap: Array, idx: int) -> Array:
+            # Attention only on the two coarsest stages (reference :393-397).
+            if idx >= n_maps - 2:
+                return SpatialSelfAttention(
+                    fmap.shape[-1],
+                    self.n_heads,
+                    backend=self.attention_backend,
+                    compute_dtype=dtype,
+                    name=f"attn{idx}",
+                )(fmap)
+            return fmap
+
+        fmaps = []
+        h = stride2_conv8(chans[0], "conv1")(x.astype(dtype))
+        h = maybe_attend(add_temb(h, 0), 0)
+        fmaps.append(h)
+
+        h = stride2_conv8(chans[1], "conv2")(h)
+        h = BatchNorm(self.bn_axis_name, name="bn1")(h, train)
+        h = nn.relu(h)
+
+        strides = (1, 2, 2, 2)
+        for i, (features, blocks, stride) in enumerate(
+            zip(chans[1:], self.block_layers, strides)
+        ):
+            h = ResNetStage(
+                features,
+                blocks,
+                stride=stride,
+                bn_axis_name=self.bn_axis_name,
+                dtype=dtype,
+                name=f"layer{i + 1}",
+            )(h, train)
+            h = maybe_attend(add_temb(h, i + 1), i + 1)
+            fmaps.append(h)
+
+        return tuple(fmaps)
+
+
+def _make_norm(kind: str, channels: int, gn_groups: int, name: str):
+    """'group' | 'instance' | 'none' (reference DecoderBlock :480-492)."""
+    if kind == "group":
+        return nn.GroupNorm(
+            num_groups=max(1, min(gn_groups, channels)), epsilon=1e-5, name=name
+        )
+    if kind == "instance":
+        # torch InstanceNorm2d default: per-(sample, channel) stats, no affine.
+        return nn.GroupNorm(
+            num_groups=channels, epsilon=1e-5, use_bias=False, use_scale=False, name=name
+        )
+    if kind in ("none", None):
+        return lambda v: v
+    raise ValueError(f"Unknown norm kind: {kind}")
+
+
+class DecoderBlock(nn.Module):
+    """Upsample x2 (bilinear resize + 3x3 conv), norm, 3x3 conv to output width,
+    norm, skip-add, time-add, activation, optional attention (reference :409-627).
+
+    ``use_resize_conv=False`` selects the ConvTranspose ablation path.
+    The time-projection parameters are created even when ``t`` is None so the
+    parameter tree matches the reference module-for-module (its final decoder
+    block registers — but never uses — a time projection).
+    """
+
+    output_channels: int
+    time_embedding: int = 256
+    upsample_scale: int = 2
+    activation: str = "relu"
+    compute_attn: bool = False
+    n_heads: int = 4
+    use_resize_conv: bool = True
+    norm: str = "group"
+    gn_groups: int = 8
+    attention_backend: str = "xla"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        fmap: Array,
+        skip: Optional[Array] = None,
+        t: Optional[Array] = None,
+    ) -> Array:
+        dtype = self.compute_dtype
+        b, h, w, c = fmap.shape
+        if self.use_resize_conv:
+            x = jax.image.resize(
+                fmap,
+                (b, h * self.upsample_scale, w * self.upsample_scale, c),
+                method="bilinear",
+            )
+            x = nn.Conv(
+                c,
+                kernel_size=(3, 3),
+                padding=((1, 1), (1, 1)),
+                use_bias=True,
+                dtype=dtype,
+                name="conv_up",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                c,
+                kernel_size=(self.upsample_scale, self.upsample_scale),
+                strides=(self.upsample_scale, self.upsample_scale),
+                padding="VALID",
+                dtype=dtype,
+                name="transpose",
+            )(fmap)
+        x = _make_norm(self.norm, c, self.gn_groups, "norm1")(x)
+
+        x = nn.Conv(
+            self.output_channels,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            dtype=dtype,
+            name="conv",
+        )(x)
+        x = _make_norm(self.norm, self.output_channels, self.gn_groups, "norm2")(x)
+
+        if skip is not None:
+            if skip.shape != x.shape:
+                raise ValueError(f"skip shape {skip.shape} must match {x.shape}")
+            x = x + skip
+
+        # Each decoder block re-embeds raw t with its own fixed frequencies
+        # (reference :500-504 — every block owns a SinusoidalEmbedding).
+        temb_mod = GaussianFourierEmbedding(self.time_embedding, name="time_embed")
+        proj = nn.Dense(self.output_channels, dtype=dtype, name="time_proj")
+        if t is not None:
+            temb = temb_mod(t)
+            x = x + proj(nn.silu(temb))[:, None, None, :].astype(x.dtype)
+        else:
+            # Materialize identical params even when unused (parity with the
+            # reference's registered-but-unused final-block projection).
+            _ = proj(nn.silu(temb_mod(jnp.zeros((1,), jnp.float32))))
+
+        x = _ACTIVATIONS[self.activation](x)
+
+        if self.compute_attn:
+            x = SpatialSelfAttention(
+                self.output_channels,
+                self.n_heads,
+                backend=self.attention_backend,
+                compute_dtype=dtype,
+                name="attention",
+            )(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """Four residual decoder blocks halving channels to ``first_fmap_channels``,
+    then a norm/activation-free final block (reference :662-789)."""
+
+    last_fmap_channels: int = 512
+    output_channels: int = 1
+    time_embedding: int = 256
+    first_fmap_channels: int = 64
+    n_heads: int = 4
+    n_blocks: int = 4
+    use_resize_conv: bool = True
+    norm: str = "group"
+    gn_groups: int = 8
+    activation: str = "relu"
+    attention_backend: str = "xla"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmaps: Sequence[Array], t: Optional[Array] = None) -> Array:
+        if len(fmaps) != self.n_blocks + 1:
+            raise ValueError(
+                f"Decoder expected {self.n_blocks + 1} feature maps, got {len(fmaps)}"
+            )
+        rev = list(reversed(fmaps))
+        in_ch = self.last_fmap_channels
+        out = rev[0]
+        for i in range(self.n_blocks):
+            out_ch = in_ch // 2 if i != self.n_blocks - 1 else self.first_fmap_channels
+            out = DecoderBlock(
+                output_channels=out_ch,
+                time_embedding=self.time_embedding,
+                activation=self.activation,
+                # Attention only on the two blocks nearest the bottleneck
+                # (reference :780 — larger maps are "very expensive").
+                compute_attn=(i < 2),
+                n_heads=self.n_heads,
+                use_resize_conv=self.use_resize_conv,
+                norm=self.norm,
+                gn_groups=self.gn_groups,
+                attention_backend=self.attention_backend,
+                compute_dtype=self.compute_dtype,
+                name=f"block{i}",
+            )(out, rev[i + 1], t)
+            in_ch = out_ch
+        # Final block: no norm, identity activation, no attention, no skip, no t
+        # (reference :713-730 strips norms/activation after construction).
+        out = DecoderBlock(
+            output_channels=self.output_channels,
+            time_embedding=self.time_embedding,
+            activation="identity",
+            compute_attn=False,
+            n_heads=self.n_heads,
+            use_resize_conv=self.use_resize_conv,
+            norm="none",
+            gn_groups=self.gn_groups,
+            attention_backend=self.attention_backend,
+            compute_dtype=self.compute_dtype,
+            name="final",
+        )(out, None, None)
+        return out
+
+
+class ScoreUNet(nn.Module):
+    """Encoder -> decoder -> divide by VE marginal std (reference :792-879).
+
+    ``marginal_prob_std`` is a static callable t -> std[B]; output is the score
+    estimate s(x_t, t | cond) in NHWC.
+    """
+
+    marginal_prob_std: Callable[[Array], Array]
+    encoder: Encoder
+    decoder: Decoder
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t: Array,
+        y: Optional[Array] = None,
+        cond_img: Optional[Array] = None,
+        lsm_cond: Optional[Array] = None,
+        topo_cond: Optional[Array] = None,
+        train: bool = False,
+    ) -> Array:
+        t = jnp.asarray(t, jnp.float32)
+        fmaps = self.encoder(
+            x, t, y=y, cond_img=cond_img, lsm_cond=lsm_cond, topo_cond=topo_cond, train=train
+        )
+        score = self.decoder(fmaps, t=t)
+        std = self.marginal_prob_std(t).reshape((-1,) + (1,) * (score.ndim - 1))
+        return (score.astype(jnp.float32) / std).astype(x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static hyperparameters needed to rebuild the network (checkpointed)."""
+
+    in_channels: int
+    output_channels: int = 1
+    time_embedding: int = 256
+    last_fmap_channels: int = 512
+    num_heads: int = 4
+    block_layers: Tuple[int, ...] = (2, 2, 2, 2)
+    num_classes: Optional[int] = None
+    use_resize_conv: bool = True
+    decoder_norm: str = "group"
+    decoder_gn_groups: int = 8
+    decoder_activation: str = "silu"
+    attention_backend: str = "xla"
+    compute_dtype: str = "float32"
+    bn_axis_name: Optional[str] = None
+
+
+def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
+    """Model factory (reference training_utils.py:597-669 get_model)."""
+    from sbgm_danra_tpu.sde import VESDE
+
+    sde = sde or VESDE()
+    dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    encoder = Encoder(
+        time_embedding=spec.time_embedding,
+        block_layers=tuple(spec.block_layers),
+        n_heads=spec.num_heads,
+        num_classes=spec.num_classes,
+        attention_backend=spec.attention_backend,
+        compute_dtype=dtype,
+        bn_axis_name=spec.bn_axis_name,
+    )
+    decoder = Decoder(
+        last_fmap_channels=spec.last_fmap_channels,
+        output_channels=spec.output_channels,
+        time_embedding=spec.time_embedding,
+        n_heads=spec.num_heads,
+        use_resize_conv=spec.use_resize_conv,
+        norm=spec.decoder_norm,
+        gn_groups=spec.decoder_gn_groups,
+        activation=spec.decoder_activation,
+        attention_backend=spec.attention_backend,
+        compute_dtype=dtype,
+    )
+    return ScoreUNet(
+        marginal_prob_std=sde.marginal_prob_std, encoder=encoder, decoder=decoder
+    )
