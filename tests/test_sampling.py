@@ -1,0 +1,221 @@
+"""Sampler statistical tests on analytically known Gaussians + CFG protocol.
+
+For data ~ N(mu, s0^2) under the VE SDE, the perturbed marginal at time t is
+N(mu, s0^2 + sigma(t)^2) with exact score s(x, t) = -(x - mu) / (s0^2 + sigma(t)^2).
+A correct reverse-SDE/ODE sampler driven by this exact score must reproduce
+N(mu, s0^2 + sigma(eps)^2) ~= N(mu, s0^2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.sampling import (
+    SamplerConfig,
+    apply_guidance,
+    em_sampler,
+    get_sampler,
+    null_conditioning,
+    ode_sampler,
+    pc_sampler,
+)
+from sbgm_danra_tpu.sde import VESDE
+
+SDE = VESDE()
+MU, S0 = 1.5, 2.0
+SHAPE = (256, 8, 8, 1)
+
+
+def exact_score(x, t, **_):
+    var = S0**2 + SDE.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+    return -(x - MU) / var
+
+
+class TestEMSampler:
+    def test_recovers_gaussian(self):
+        cfg = SamplerConfig(num_steps=500)
+        samples = np.asarray(
+            jax.jit(lambda r: em_sampler(exact_score, r, SHAPE, SDE, cfg))(
+                jax.random.PRNGKey(0)
+            )
+        )
+        assert samples.shape == SHAPE
+        assert samples.mean() == pytest.approx(MU, abs=0.15)
+        assert samples.std() == pytest.approx(S0, rel=0.1)
+
+    def test_deterministic_given_key(self):
+        cfg = SamplerConfig(num_steps=20)
+        a = em_sampler(exact_score, jax.random.PRNGKey(7), (4, 8, 8, 1), SDE, cfg)
+        b = em_sampler(exact_score, jax.random.PRNGKey(7), (4, 8, 8, 1), SDE, cfg)
+        c = em_sampler(exact_score, jax.random.PRNGKey(8), (4, 8, 8, 1), SDE, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+class TestPCSampler:
+    def test_recovers_gaussian(self):
+        cfg = SamplerConfig(num_steps=300)
+        samples = np.asarray(
+            jax.jit(lambda r: pc_sampler(exact_score, r, SHAPE, SDE, cfg))(
+                jax.random.PRNGKey(1)
+            )
+        )
+        assert samples.mean() == pytest.approx(MU, abs=0.15)
+        assert samples.std() == pytest.approx(S0, rel=0.1)
+
+    def test_two_nfe_per_step(self):
+        calls = []
+
+        def counting_score(x, t, **kw):
+            calls.append(1)
+            return exact_score(x, t)
+
+        cfg = SamplerConfig(num_steps=5)
+        # un-jitted so the python counter sees every evaluation
+        pc_sampler(counting_score, jax.random.PRNGKey(0), (2, 4, 4, 1), SDE, cfg)
+        # traced once per scan body: corrector + predictor = 2 trace-time calls
+        assert len(calls) == 2
+
+
+class TestODESampler:
+    # The probability-flow ODE is a deterministic transport: starting from the
+    # VE prior N(0, sigma(1)^2) rather than the true marginal
+    # N(mu, s0^2 + sigma(1)^2), the exact Gaussian solution is
+    #   x(eps) = mu + (s_eps / s_1) (x(1) - mu),  s_t = sqrt(s0^2 + sigma(t)^2),
+    # so mean -> mu (1 - r), std -> r sigma(1), r = s_eps / s_1. Unlike the
+    # stochastic samplers, the prior mismatch is not washed out by noise —
+    # the test checks this closed form, which is far sharper than ~N(mu, s0).
+    @staticmethod
+    def _expected():
+        s_eps = float(np.sqrt(S0**2 + float(SDE.marginal_prob_std(1e-3)) ** 2))
+        s_1 = float(np.sqrt(S0**2 + float(SDE.marginal_prob_std(1.0)) ** 2))
+        r = s_eps / s_1
+        return MU * (1.0 - r), r * float(SDE.marginal_prob_std(1.0))
+
+    @pytest.mark.parametrize("method,steps", [("rk4", 100), ("heun", 200)])
+    def test_exact_gaussian_transport_fixed_step(self, method, steps):
+        cfg = SamplerConfig(num_steps=steps, ode_method=method)
+        samples = np.asarray(
+            jax.jit(lambda r: ode_sampler(exact_score, r, SHAPE, SDE, cfg))(
+                jax.random.PRNGKey(2)
+            )
+        )
+        mean_exp, std_exp = self._expected()
+        assert samples.mean() == pytest.approx(mean_exp, abs=0.05)
+        assert samples.std() == pytest.approx(std_exp, rel=0.03)
+
+    def test_rk45_adaptive(self):
+        cfg = SamplerConfig(ode_method="rk45", rtol=1e-4, atol=1e-4)
+        samples = np.asarray(
+            ode_sampler(exact_score, jax.random.PRNGKey(3), SHAPE, SDE, cfg)
+        )
+        mean_exp, std_exp = self._expected()
+        assert samples.mean() == pytest.approx(mean_exp, abs=0.08)
+        assert samples.std() == pytest.approx(std_exp, rel=0.05)
+
+    def test_deterministic_given_latent(self):
+        cfg = SamplerConfig(num_steps=50, ode_method="rk4")
+        z = jax.random.normal(jax.random.PRNGKey(9), (4, 8, 8, 1)) * SDE.prior_std()
+        a = ode_sampler(exact_score, jax.random.PRNGKey(0), (4, 8, 8, 1), SDE, cfg, z=z)
+        b = ode_sampler(exact_score, jax.random.PRNGKey(99), (4, 8, 8, 1), SDE, cfg, z=z)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_conditioning_reaches_ode_drift(self):
+        # The reference ODE wrapper dropped conditioning (score_sampling.py:286);
+        # ours must not.
+        seen = {}
+
+        def probe_score(x, t, y=None, **kw):
+            seen["y"] = y
+            return exact_score(x, t)
+
+        cfg = SamplerConfig(num_steps=5, ode_method="rk4")
+        ode_sampler(
+            probe_score,
+            jax.random.PRNGKey(0),
+            (2, 4, 4, 1),
+            SDE,
+            cfg,
+            cond={"y": jnp.array([1, 2])},
+        )
+        assert seen["y"] is not None
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError):
+            ode_sampler(
+                exact_score,
+                jax.random.PRNGKey(0),
+                (1, 4, 4, 1),
+                SDE,
+                SamplerConfig(ode_method="bogus"),
+            )
+
+
+class TestGuidance:
+    def _cond(self, b=2, s=8):
+        k = jax.random.PRNGKey(0)
+        return {
+            "y": jnp.array([1, 2]),
+            "cond_img": jax.random.normal(k, (b, s, s, 3)),
+            "lsm_cond": jnp.ones((b, s, s, 2)),
+            "topo_cond": jnp.ones((b, s, s, 2)),
+        }
+
+    def test_null_protocol(self):
+        nc = null_conditioning(self._cond())
+        np.testing.assert_array_equal(np.asarray(nc["y"]), 0)
+        np.testing.assert_array_equal(np.asarray(nc["cond_img"]), 0.0)
+        # value channel kept, mask channel zeroed
+        np.testing.assert_array_equal(np.asarray(nc["lsm_cond"][..., 0]), 1.0)
+        np.testing.assert_array_equal(np.asarray(nc["lsm_cond"][..., 1]), 0.0)
+        np.testing.assert_array_equal(np.asarray(nc["topo_cond"][..., 1]), 0.0)
+
+    def test_scale_zero_equals_conditional(self):
+        def score(x, t, **cond):
+            bonus = 0.0 if cond.get("y") is None else cond["y"].reshape(-1, 1, 1, 1)
+            return exact_score(x, t) + bonus
+
+        guided = apply_guidance(score, 0.0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 1))
+        t = jnp.full((2,), 0.5)
+        np.testing.assert_allclose(
+            np.asarray(guided(x, t, **self._cond(s=4))),
+            np.asarray(score(x, t, **self._cond(s=4))),
+            rtol=2e-5, atol=1e-5,
+        )
+
+    def test_linear_combination(self):
+        # score depends only on the label: cond branch sees y, null branch 0.
+        def score(x, t, y=None, **kw):
+            return jnp.broadcast_to(y.astype(jnp.float32).reshape(-1, 1, 1, 1), x.shape)
+
+        guided = apply_guidance(score, 2.0)
+        x = jnp.zeros((2, 4, 4, 1))
+        t = jnp.full((2,), 0.5)
+        out = guided(x, t, y=jnp.array([1, 3]), cond_img=None, lsm_cond=None, topo_cond=None)
+        # (1+w)*y - w*0 = 3*y
+        np.testing.assert_allclose(np.asarray(out[:, 0, 0, 0]), [3.0, 9.0])
+
+    def test_none_scale_is_identity(self):
+        f = lambda x, t: x
+        assert apply_guidance(f, None) is f
+
+    def test_max_scale_clamps(self):
+        def score(x, t, y=None, **kw):
+            return jnp.broadcast_to(y.astype(jnp.float32).reshape(-1, 1, 1, 1), x.shape)
+
+        guided = apply_guidance(score, 10.0, max_scale=2.0)
+        out = guided(
+            jnp.zeros((1, 2, 2, 1)), jnp.full((1,), 0.5),
+            y=jnp.array([1]), cond_img=None, lsm_cond=None, topo_cond=None,
+        )
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0, 0]), 3.0)
+
+
+class TestRegistry:
+    def test_names(self):
+        assert get_sampler("pc_sampler") is pc_sampler
+        assert get_sampler("euler_maruyama") is em_sampler
+        with pytest.raises(ValueError):
+            get_sampler("nope")
