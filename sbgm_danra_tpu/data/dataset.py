@@ -1,0 +1,321 @@
+"""Date-keyed conditional dataset: HR target + LR conditions + geo statics.
+
+Re-design of the reference's DANRA_Dataset_cutouts_ERA5_Zarr
+(sbgm/data_modules.py:371-1006). Per sample, keyed by a common date across the
+HR store and every LR-condition store:
+
+- random cutout points inside the configured domains (``find_rand_points``,
+  reference :184-223; crop indexing is rows-first ``[x1:x2, y1:y2]``);
+- per-variable unit correction, resize and stats-driven normalization;
+- HR land-sea mask re-binarized after nearest resize;
+- geo statics as value||mask 2-channel maps (mask=1 kept, 0 CFG-dropped,
+  reference :985-993);
+- season/month/day-of-year class index (index 0 = CFG null token);
+- normalized SDF from the HR mask for loss weighting;
+- in-dataset classifier-free-guidance dropout on the train split
+  (reference :957-982; note the reference reads the drop probability via a
+  buggy dict lookup ``cfg_guidance.get(drop_prob, 0.1)`` — the intended
+  ``drop_prob`` key is used here).
+
+Differences from the reference by design:
+- arrays are channels-LAST (HWC) numpy, matching the NHWC device layout;
+- randomness is an explicit ``numpy.random.Generator`` (reproducible per
+  worker/epoch) instead of global ``random``/``torch`` state;
+- samples are plain numpy dicts; batching/prefetch lives in
+  ``sbgm_danra_tpu.data.loader``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sbgm_danra_tpu import transforms as T
+from sbgm_danra_tpu.data import zarrlite
+from sbgm_danra_tpu.ops.resize import resize
+from sbgm_danra_tpu.ops.sdf import sdf_from_mask
+from sbgm_danra_tpu.utils.dates import classifier_from_date, file_date
+from sbgm_danra_tpu.utils.units import correct_variable_units
+
+logger = logging.getLogger(__name__)
+
+
+def find_rand_points(
+    rect: Sequence[int], crop_size: Sequence[int], rng: np.random.Generator
+) -> List[int]:
+    """Random crop window [x1, x2, y1, y2] inside rect (reference :184-223)."""
+    x1, x2, y1, y2 = rect
+    cw, ch = crop_size
+    if cw > x2 - x1 or ch > y2 - y1:
+        raise ValueError("Crop size is larger than the rectangle dimensions.")
+    ox = int(rng.integers(0, x2 - x1 - cw + 1))
+    oy = int(rng.integers(0, y2 - y1 - ch + 1))
+    return [x1 + ox, x1 + ox + cw, y1 + oy, y1 + oy + ch]
+
+
+def extract_2d(group: zarrlite.Group, file_key: str, var_name: str) -> np.ndarray:
+    """Robust 2-D field extraction, trying the reference's key candidates
+    (t/tp/data/arr_0 — sbgm/data_modules.py:337-365) and squeezing leading dims."""
+    entry = group[file_key]
+    if isinstance(entry, zarrlite.ZArray):
+        arr = entry[...]
+    else:
+        candidates = {"temp": ["t", "data", "arr_0"], "prcp": ["tp", "data", "arr_0"]}
+        keys = candidates.get(var_name, []) + ["data", "arr_0", var_name]
+        arr = None
+        for key in keys:
+            if key in entry:
+                arr = entry[key][...]
+                break
+        if arr is None:
+            names = entry.keys()
+            if len(names) == 1:
+                arr = entry[names[0]][...]
+            else:
+                raise KeyError(
+                    f"No known data key in {file_key} (have {names}) for {var_name}"
+                )
+    arr = np.asarray(arr)
+    if arr.ndim < 2:
+        raise ValueError(f"Array for {file_key} must be >=2D, got {arr.shape}")
+    h, w = arr.shape[-2:]
+    return arr.reshape(-1, h, w)[0]
+
+
+@dataclasses.dataclass
+class VariableSource:
+    """One variable's store + normalization recipe."""
+
+    name: str
+    model: str
+    zarr_path: str
+    scaling_method: str
+    transform: Optional[T.Transform]  # applied after units+resize; None = raw
+
+
+class DanraDataset:
+    """Map-style dataset over common dates of HR and LR condition stores."""
+
+    def __init__(
+        self,
+        hr: VariableSource,
+        lr_conditions: Sequence[VariableSource],
+        hr_data_size: Tuple[int, int],
+        lr_data_size: Optional[Tuple[int, int]] = None,
+        cutouts: bool = True,
+        cutout_domains: Optional[Sequence[int]] = None,
+        lr_cutout_domains: Optional[Sequence[int]] = None,
+        resize_factor: int = 1,
+        geo_variables: Sequence[str] = ("lsm", "topo"),
+        lsm_full_domain: Optional[np.ndarray] = None,
+        topo_full_domain: Optional[np.ndarray] = None,
+        topo_norm: Tuple[float, float] = (0.0, 1.0),
+        split: str = "train",
+        n_samples: Optional[int] = None,
+        cache_size: int = 0,
+        sdf_weighted_loss: bool = True,
+        conditional_seasons: bool = True,
+        n_classes: Optional[int] = 4,
+        cfg_dropout_enabled: bool = False,
+        cfg_dropout_prob: float = 0.1,
+        seed: int = 0,
+    ):
+        self.hr = hr
+        self.lr_conditions = list(lr_conditions)
+        self.hr_data_size = tuple(hr_data_size)
+        self.lr_data_size = tuple(lr_data_size) if lr_data_size else None
+        self.cutouts = cutouts
+        self.cutout_domains = list(cutout_domains) if cutout_domains else None
+        self.lr_cutout_domains = list(lr_cutout_domains) if lr_cutout_domains else None
+        if resize_factor < 1:
+            raise ValueError("resize_factor must be >= 1")
+        self.resize_factor = resize_factor
+        self.hr_size_reduced = (
+            hr_data_size[0] // resize_factor,
+            hr_data_size[1] // resize_factor,
+        )
+        target_lr = self.lr_data_size or self.hr_data_size
+        self.lr_size_reduced = (target_lr[0] // resize_factor, target_lr[1] // resize_factor)
+        self.geo_variables = list(geo_variables or [])
+        self.lsm_full_domain = lsm_full_domain
+        self.topo_full_domain = topo_full_domain
+        self.topo_norm = topo_norm
+        self.split = split
+        self.sdf_weighted_loss = sdf_weighted_loss
+        self.conditional_seasons = conditional_seasons
+        self.n_classes = n_classes
+        self.cfg_dropout_enabled = cfg_dropout_enabled and split == "train"
+        self.cfg_dropout_prob = cfg_dropout_prob
+        self._rng = np.random.default_rng(seed)
+        self.cache_size = cache_size
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+
+        if "topo" in self.geo_variables and topo_full_domain is None:
+            raise ValueError("topo_full_domain must be provided when 'topo' is used")
+        if "lsm" in self.geo_variables and lsm_full_domain is None:
+            raise ValueError("lsm_full_domain must be provided when 'lsm' is used")
+
+        # date -> file key maps and the common-date intersection (reference :527-558)
+        self._hr_group = zarrlite.open_group(hr.zarr_path, mode="r")
+        self._hr_map = self._file_map(self._hr_group)
+        self._lr_groups = {}
+        self._lr_maps = {}
+        common = set(self._hr_map)
+        for cond in self.lr_conditions:
+            g = zarrlite.open_group(cond.zarr_path, mode="r")
+            self._lr_groups[cond.name] = g
+            self._lr_maps[cond.name] = self._file_map(g)
+            common &= set(self._lr_maps[cond.name])
+        self.common_dates = sorted(common)
+        if n_samples is not None and n_samples < len(self.common_dates):
+            self.common_dates = self.common_dates[:n_samples]
+        if not self.common_dates:
+            raise ValueError(
+                f"No common dates between HR ({hr.zarr_path}) and LR conditions"
+            )
+
+        if topo_full_domain is not None:
+            t_min, t_max = float(topo_full_domain.min()), float(topo_full_domain.max())
+            self._topo_scale = T.LinearScale(topo_norm[0], topo_norm[1], t_min, t_max)
+        else:
+            self._topo_scale = None
+
+    @staticmethod
+    def _file_map(group: zarrlite.Group) -> Dict[str, str]:
+        out = {}
+        for key in group.keys():
+            try:
+                out[file_date(key)] = key
+            except ValueError:
+                logger.warning("Skipping file without parseable date: %s", key)
+        return out
+
+    def __len__(self) -> int:
+        return len(self.common_dates)
+
+    # -- sample assembly ------------------------------------------------------
+
+    def _crop(self, data: np.ndarray, point: Optional[Sequence[int]]) -> np.ndarray:
+        if point is None:
+            return data
+        x1, x2, y1, y2 = point
+        return data[x1:x2, y1:y2]
+
+    def _load_field(self, src: VariableSource, group, file_key, point, out_hw):
+        data = extract_2d(group, file_key, src.name)
+        data = correct_variable_units(src.name, src.model, data)
+        data = self._crop(data, point)
+        data = resize(data, out_hw, mode="bilinear")
+        if src.transform is not None:
+            data = np.asarray(src.transform(data), dtype=np.float32)
+        return data.astype(np.float32)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        if self.cache_size > 0 and (self.split != "train" or not self.cutouts):
+            cached = self._cache.get(idx)
+            if cached is not None:
+                return cached
+
+        rng = rng or self._rng
+        date = self.common_dates[idx]
+        sample: Dict[str, np.ndarray] = {}
+
+        # crop windows (reference :746-763)
+        if self.cutouts:
+            hr_point = find_rand_points(self.cutout_domains, self.hr_data_size, rng)
+            if self.lr_data_size is not None and self.lr_cutout_domains is not None:
+                lr_point = find_rand_points(self.lr_cutout_domains, self.lr_data_size, rng)
+            else:
+                lr_point = hr_point
+        else:
+            hr_point = lr_point = None
+
+        # LR conditions
+        for cond in self.lr_conditions:
+            data = self._load_field(
+                cond,
+                self._lr_groups[cond.name],
+                self._lr_maps[cond.name][date],
+                lr_point,
+                self.lr_size_reduced,
+            )
+            sample[f"{cond.name}_lr"] = data[..., None]
+
+        # HR target
+        hr_data = self._load_field(
+            self.hr, self._hr_group, self._hr_map[date], hr_point, self.hr_size_reduced
+        )
+        sample[f"{self.hr.name}_hr"] = hr_data[..., None]
+
+        # HR land-sea mask: nearest resize + re-binarize (reference :861-875)
+        if "lsm" in self.geo_variables:
+            lsm_hr = self._crop(self.lsm_full_domain, hr_point)
+            lsm_hr = resize(lsm_hr, self.hr_size_reduced, mode="nearest")
+            lsm_hr = (lsm_hr > 0.5).astype(np.float32)
+            sample["lsm_hr"] = lsm_hr[..., None]
+
+        # geo statics at the LR window (reference :878-911)
+        geo_point = (
+            lr_point
+            if (self.lr_data_size is not None and self.lr_cutout_domains is not None)
+            else hr_point
+        )
+        for geo in self.geo_variables:
+            if geo == "lsm":
+                g = self._crop(self.lsm_full_domain, geo_point)
+                g = resize(g, self.lr_size_reduced, mode="nearest")
+                g = (g > 0.5).astype(np.float32)
+            elif geo == "topo":
+                g = self._crop(self.topo_full_domain, geo_point)
+                g = resize(g, self.lr_size_reduced, mode="bilinear")
+                if self._topo_scale is not None:
+                    g = np.asarray(self._topo_scale(g), dtype=np.float32)
+            else:
+                continue
+            sample[geo] = g[..., None]
+
+        # class index (reference :913-938)
+        if self.conditional_seasons:
+            sample["classifier"] = np.int32(classifier_from_date(date, self.n_classes))
+
+        # SDF from the HR mask (reference :944-950)
+        if self.sdf_weighted_loss:
+            if "lsm_hr" not in sample:
+                raise ValueError("lsm_hr required for SDF-weighted loss")
+            sample["sdf"] = sdf_from_mask(sample["lsm_hr"][..., 0])[..., None].astype(
+                np.float32
+            )
+
+        if self.cutouts:
+            sample["hr_points"] = np.asarray(hr_point, np.int32)
+            sample["lr_points"] = np.asarray(lr_point, np.int32)
+
+        # CFG dropout (train only, reference :957-982)
+        dropped = False
+        if self.cfg_dropout_enabled and rng.random() < self.cfg_dropout_prob:
+            dropped = True
+            for key in list(sample):
+                if key.endswith("_lr"):
+                    sample[key] = np.zeros_like(sample[key])
+            if "classifier" in sample:
+                sample["classifier"] = np.int32(0)
+
+        # append the geo mask channel: 1 kept / 0 dropped (reference :985-993)
+        mask_val = 0.0 if dropped else 1.0
+        for geo in ("lsm", "topo"):
+            if geo in sample and sample[geo].shape[-1] == 1:
+                mask = np.full_like(sample[geo], mask_val)
+                sample[geo] = np.concatenate([sample[geo], mask], axis=-1)
+
+        if self.cache_size > 0 and (self.split != "train" or not self.cutouts):
+            if len(self._cache) >= self.cache_size:
+                evict = self._rng.choice(list(self._cache.keys()))
+                self._cache.pop(int(evict), None)
+            self._cache[idx] = sample
+        return sample
+
+    def date_of(self, idx: int) -> str:
+        return self.common_dates[idx]

@@ -1,0 +1,204 @@
+"""Synthetic DANRA/ERA5-like dataset generator (reference data layout).
+
+The reference ships only placeholder data (data_examples/*/test_file.txt), so
+tests, smoke runs and benchmarks need a generator that produces physically
+plausible fields in the exact on-disk layout the loaders expect:
+
+- smooth spatially correlated daily fields (FFT low-pass noise + seasonal
+  cycle) for temperature; log-normal sparse fields for precipitation;
+- the LR (ERA5) field is a blurred version of the HR (DANRA) field plus noise,
+  so there is a real downscaling signal to learn;
+- a synthetic land-sea mask and topography over the full domain;
+- zarr stores at data_{MODEL}/size_{HxW}/{var}_{HxW}/zarr_files/{split}.zarr
+  with one group per day (named {var}_{HxW}_{YYYYMMDD}, array key 'data');
+- global-stats JSONs in the layout the transform factories read.
+
+Temperature is stored in Kelvin and ERA5 precipitation in meters so the
+unit-correction path (sbgm_danra_tpu.utils.units) is exercised end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sbgm_danra_tpu import transforms as T
+from sbgm_danra_tpu.data import zarrlite
+from sbgm_danra_tpu.data.paths import build_data_path, lsm_path, topo_path
+from sbgm_danra_tpu.utils.units import correct_variable_units
+
+
+def smooth_noise(rng: np.random.Generator, shape: Tuple[int, int], corr: float = 0.15):
+    """Spatially correlated Gaussian field via FFT low-pass filtering."""
+    h, w = shape
+    white = rng.normal(size=shape)
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    filt = np.exp(-((fy**2 + fx**2) / (2 * corr**2)))
+    field = np.fft.ifft2(np.fft.fft2(white) * filt).real
+    std = field.std()
+    return (field / std if std > 0 else field).astype(np.float32)
+
+
+def make_geography(rng: np.random.Generator, shape: Tuple[int, int]):
+    """Synthetic land-sea mask (threshold of smooth noise) + topography."""
+    base = smooth_noise(rng, shape, corr=0.06)
+    lsm = (base > -0.1).astype(np.float32)
+    topo = np.where(lsm > 0, 50.0 + 400.0 * np.maximum(base, 0) ** 1.5, 0.0)
+    topo = topo + 5.0 * smooth_noise(rng, shape, corr=0.3) * lsm
+    return lsm, topo.astype(np.float32)
+
+
+def _blur(field: np.ndarray, factor: int = 4) -> np.ndarray:
+    """Box blur: average-pool factor x factor blocks, bilinear upsample back.
+
+    Mimics the ~12x resolution gap between ERA5 (~31 km) and DANRA (2.5 km)
+    while keeping the large-scale structure intact.
+    """
+    from sbgm_danra_tpu.ops.resize import resize_bilinear
+
+    h, w = field.shape
+    hp, wp = -(-h // factor) * factor, -(-w // factor) * factor
+    padded = np.pad(field, ((0, hp - h), (0, wp - w)), mode="edge")
+    small = padded.reshape(hp // factor, factor, wp // factor, factor).mean(axis=(1, 3))
+    return resize_bilinear(small, (hp, wp))[:h, :w]
+
+
+def daily_fields(
+    rng: np.random.Generator,
+    date: str,
+    shape: Tuple[int, int],
+    topo: np.ndarray,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """One day of HR (DANRA) + LR (ERA5) fields in raw storage units."""
+    doy = int(date[4:6]) * 30 + int(date[6:8])
+    seasonal = 10.0 * np.cos(2 * np.pi * (doy - 200) / 365.0)
+    # temperature (Kelvin on disk)
+    t_anom = 4.0 * smooth_noise(rng, shape, corr=0.1)
+    temp_hr = 281.0 + seasonal + t_anom - 0.006 * topo
+    temp_lr = _blur(temp_hr) + 0.5 * smooth_noise(rng, shape, corr=0.3)
+    # precipitation: sparse log-normal (DANRA stores mm, ERA5 stores meters)
+    p_base = smooth_noise(rng, shape, corr=0.12)
+    prcp_hr_mm = np.where(p_base > 0.4, np.exp(1.5 * p_base) - 1.0, 0.0).astype(np.float32)
+    prcp_lr_mm = np.maximum(_blur(prcp_hr_mm) + 0.05 * smooth_noise(rng, shape, corr=0.4), 0.0)
+    return {
+        "DANRA": {"temp": temp_hr.astype(np.float32), "prcp": prcp_hr_mm},
+        "ERA5": {
+            "temp": temp_lr.astype(np.float32),
+            "prcp": (prcp_lr_mm / 1000.0).astype(np.float32),  # meters on disk
+        },
+    }
+
+
+def date_range(start: str, n_days: int) -> List[str]:
+    import datetime as dt
+
+    d0 = dt.date(int(start[:4]), int(start[4:6]), int(start[6:8]))
+    return [(d0 + dt.timedelta(days=i)).strftime("%Y%m%d") for i in range(n_days)]
+
+
+def _compute_stats(fields: np.ndarray, log_eps: float = 0.01) -> Dict[str, float]:
+    """Global stats in the reference JSON schema
+    (data_analysis_pipeline/stats_analysis/statistics.py:215-292)."""
+    x = np.asarray(fields, dtype=np.float64)
+    logx = np.log(np.maximum(x, 0) + log_eps)
+    return {
+        "mean": float(x.mean()),
+        "std": float(x.std()),
+        "min": float(x.min()),
+        "max": float(x.max()),
+        "log_mean": float(logx.mean()),
+        "log_std": float(logx.std()),
+        "log_min": float(logx.min()),
+        "log_max": float(logx.max()),
+    }
+
+
+@dataclasses.dataclass
+class SyntheticSpec:
+    root: str
+    full_domain: Tuple[int, int] = (64, 96)
+    n_days: int = 48
+    start_date: str = "20000101"
+    variables: Tuple[str, ...] = ("temp", "prcp")
+    splits: Optional[Dict[str, Tuple[int, int]]] = None  # split -> (start, stop) day idx
+    crop_region: Optional[Tuple[int, int, int, int]] = None
+    seed: int = 0
+
+    def resolved_splits(self) -> Dict[str, Tuple[int, int]]:
+        if self.splits is not None:
+            return self.splits
+        n = self.n_days
+        n_train = max(int(0.7 * n), 1)
+        n_valid = max(int(0.15 * n), 1)
+        return {
+            "train": (0, n_train),
+            "valid": (n_train, n_train + n_valid),
+            "test": (n_train + n_valid, n),
+            "all": (0, n),
+        }
+
+
+def generate(spec: SyntheticSpec) -> Dict[str, str]:
+    """Write the synthetic dataset; returns paths of the written artifacts."""
+    rng = np.random.default_rng(spec.seed)
+    h, w = spec.full_domain
+    size = f"{h}x{w}"
+    dates = date_range(spec.start_date, spec.n_days)
+    lsm, topo = make_geography(rng, spec.full_domain)
+
+    os.makedirs(os.path.dirname(lsm_path(spec.root)), exist_ok=True)
+    os.makedirs(os.path.dirname(topo_path(spec.root)), exist_ok=True)
+    np.savez(lsm_path(spec.root), data=lsm)
+    np.savez(topo_path(spec.root), data=topo)
+
+    # generate all days once, then slice into splits
+    all_days: Dict[str, Dict[str, List[np.ndarray]]] = {
+        model: {v: [] for v in spec.variables} for model in ("DANRA", "ERA5")
+    }
+    for date in dates:
+        day = daily_fields(rng, date, spec.full_domain, topo)
+        for model in all_days:
+            for var in spec.variables:
+                all_days[model][var].append(day[model][var])
+
+    written = {}
+    for model in ("DANRA", "ERA5"):
+        for var in spec.variables:
+            stack = np.stack(all_days[model][var])
+            for split, (lo, hi) in spec.resolved_splits().items():
+                path = build_data_path(spec.root, model, var, spec.full_domain, split)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                group = zarrlite.open_group(path, mode="w")
+                for i in range(lo, min(hi, spec.n_days)):
+                    day_group = group.create_group(f"{var}_{size}_{dates[i]}")
+                    day_group.array("data", stack[i])
+                written[f"{model}/{var}/{split}"] = path
+
+            # stats on unit-corrected values over the 'all' split, both for the
+            # full domain and (if given) the crop region string.
+            corrected = np.stack(
+                [correct_variable_units(var, model, f) for f in stack]
+            )
+            regions = {"full": corrected}
+            if spec.crop_region is not None:
+                x1, x2, y1, y2 = spec.crop_region
+                regions["_".join(map(str, spec.crop_region))] = corrected[
+                    :, x1:x2, y1:y2
+                ]
+            for crop_str, vals in regions.items():
+                stats = _compute_stats(vals)
+                spath = T.stats_path(
+                    os.path.join(spec.root, "stats"), model, var, size, crop_str, "all"
+                )
+                os.makedirs(os.path.dirname(spath), exist_ok=True)
+                with open(spath, "w") as f:
+                    json.dump(stats, f, indent=2)
+    written["stats_root"] = os.path.join(spec.root, "stats")
+    written["lsm"] = lsm_path(spec.root)
+    written["topo"] = topo_path(spec.root)
+    return written

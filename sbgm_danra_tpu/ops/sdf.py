@@ -1,0 +1,107 @@
+"""Signed-distance fields from land-sea masks.
+
+Reference semantics (sbgm/data_modules.py:93-118): with land = mask > 0,
+    sdf = 10 * land - EDT(sea)
+where EDT(sea)[p] is the Euclidean distance from each sea pixel to the nearest
+land pixel (0 on land), followed by per-sample min-max normalization to [0, 1].
+
+Two implementations:
+- ``generate_sdf`` / ``normalize_sdf``: host-side numpy + scipy EDT, used by the
+  input pipeline workers;
+- ``generate_sdf_device``: an exact on-device variant via jump flooding (log2
+  rounds of strided neighbor reductions), jittable/vmappable so SDF can be
+  computed inside the data-augmentation step on TPU when cutouts are produced
+  on-device (BASELINE north star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from scipy.ndimage import distance_transform_edt as _edt
+except ImportError:  # pragma: no cover
+    _edt = None
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_sdf(mask: np.ndarray) -> np.ndarray:
+    """sdf = 10 * land - EDT(sea); host-side (reference :93-103)."""
+    if _edt is None:  # pragma: no cover
+        raise RuntimeError("scipy is required for host-side SDF computation")
+    binary = np.asarray(mask) > 0
+    dist_sea = _edt(~binary)
+    return 10.0 * binary.astype(np.float32) - dist_sea.astype(np.float32)
+
+
+def normalize_sdf(sdf: np.ndarray) -> np.ndarray:
+    """Per-sample min-max to [0, 1] (reference :105-118)."""
+    mn, mx = sdf.min(), sdf.max()
+    if mx == mn:
+        return np.zeros_like(sdf)
+    return (sdf - mn) / (mx - mn)
+
+
+def sdf_from_mask(mask: np.ndarray) -> np.ndarray:
+    """Full pipeline: EDT SDF + normalization."""
+    return normalize_sdf(generate_sdf(mask))
+
+
+# ---------------------------------------------------------------------------
+# On-device exact EDT via jump flooding
+# ---------------------------------------------------------------------------
+
+
+def _jump_flood_nearest_land(mask: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance from every pixel to the nearest land pixel (JFA).
+
+    mask: (H, W) land=1/sea=0 float or bool. Returns (H, W) float32 squared
+    distances (0 on land). Jump flooding is exact for Euclidean nearest-seed
+    queries in practice at these resolutions and is O(HW log max(H, W)) with
+    fully vectorized rounds — a natural fit for the VPU.
+    """
+    h, w = mask.shape
+    land = mask > 0
+    big = jnp.float32(1e9)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # best-known nearest-land coordinates per pixel (init: self if land else inf)
+    best_r = jnp.where(land, rows, big)
+    best_c = jnp.where(land, cols, big)
+
+    def dist2(br, bc):
+        return jnp.where(br >= big, big, (br - rows) ** 2 + (bc - cols) ** 2)
+
+    step = 1 << max(int(np.ceil(np.log2(max(h, w)))), 0)
+    while step >= 1:
+        for dr in (-step, 0, step):
+            for dc in (-step, 0, step):
+                if dr == 0 and dc == 0:
+                    continue
+                cand_r = jnp.roll(best_r, (dr, dc), axis=(0, 1))
+                cand_c = jnp.roll(best_c, (dr, dc), axis=(0, 1))
+                # invalidate wrap-around
+                if dr > 0:
+                    cand_r = cand_r.at[:dr, :].set(big)
+                elif dr < 0:
+                    cand_r = cand_r.at[dr:, :].set(big)
+                if dc > 0:
+                    cand_c = cand_c.at[:, :dc].set(big)
+                elif dc < 0:
+                    cand_c = cand_c.at[:, dc:].set(big)
+                better = dist2(cand_r, cand_c) < dist2(best_r, best_c)
+                best_r = jnp.where(better, cand_r, best_r)
+                best_c = jnp.where(better, cand_c, best_c)
+        step //= 2
+    return jnp.where(land, 0.0, dist2(best_r, best_c))
+
+
+def generate_sdf_device(mask: jnp.ndarray) -> jnp.ndarray:
+    """On-device sdf = 10 * land - sqrt(d2(sea)), min-max normalized."""
+    land = (mask > 0).astype(jnp.float32)
+    d2 = _jump_flood_nearest_land(mask)
+    sdf = 10.0 * land - jnp.sqrt(d2)
+    mn, mx = jnp.min(sdf), jnp.max(sdf)
+    return jnp.where(mx > mn, (sdf - mn) / (mx - mn), jnp.zeros_like(sdf))

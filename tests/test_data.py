@@ -1,0 +1,317 @@
+"""Data layer: zarrlite format, synthetic generator, dataset contract, loaders."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.data import zarrlite
+from sbgm_danra_tpu.data.dataset import DanraDataset, VariableSource, extract_2d, find_rand_points
+from sbgm_danra_tpu.data.loader import DataLoader, collate, device_prefetch, extract_batch
+from sbgm_danra_tpu.data.paths import build_data_path
+from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+from sbgm_danra_tpu.ops.resize import resize_bilinear, resize_nearest
+from sbgm_danra_tpu.ops.sdf import generate_sdf, normalize_sdf, sdf_from_mask
+from sbgm_danra_tpu.utils.dates import classifier_from_date, day_of_year, file_date, season_of
+from sbgm_danra_tpu.utils.units import correct_variable_units
+
+
+class TestZarrlite:
+    def test_roundtrip_compressed(self, tmp_path):
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        data = np.random.default_rng(0).normal(size=(33, 47)).astype(np.float32)
+        g.array("x", data, chunks=(16, 16))
+        re = zarrlite.open_group(str(tmp_path / "s.zarr"))["x"][...]
+        np.testing.assert_array_equal(re, data)
+
+    def test_partial_reads_hit_only_needed_chunks(self, tmp_path):
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        data = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+        g.array("x", data, chunks=(16, 16))
+        arr = zarrlite.open_group(str(tmp_path / "s.zarr"))["x"]
+        np.testing.assert_array_equal(arr[5:20, 30:50], data[5:20, 30:50])
+        np.testing.assert_array_equal(arr[0], data[0])
+        np.testing.assert_array_equal(arr[:, 3], data[:, 3])
+
+    def test_nested_groups_and_keys(self, tmp_path):
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        sub = g.create_group("day1")
+        sub.array("data", np.ones((4, 4)))
+        g2 = zarrlite.open_group(str(tmp_path / "s.zarr"))
+        assert g2.keys() == ["day1"]
+        assert isinstance(g2["day1"], zarrlite.Group)
+        np.testing.assert_array_equal(g2["day1"]["data"][...], 1.0)
+        assert zarrlite.list_all_keys(g2) == ["day1", "day1/data"]
+
+    def test_uncompressed(self, tmp_path):
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        data = np.random.default_rng(1).normal(size=(8, 8)).astype("<f8")
+        g.array("x", data, compressor=None)
+        np.testing.assert_array_equal(g["x"][...], data)
+
+    def test_read_only_guard(self, tmp_path):
+        zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="r")
+        with pytest.raises(PermissionError):
+            g.array("x", np.ones(3))
+
+    def test_metadata_matches_zarr_v2_spec(self, tmp_path):
+        g = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+        g.array("x", np.ones((10, 12), np.float32), chunks=(4, 8))
+        meta = json.load(open(tmp_path / "s.zarr" / "x" / ".zarray"))
+        assert meta["zarr_format"] == 2
+        assert meta["shape"] == [10, 12] and meta["chunks"] == [4, 8]
+        assert meta["dtype"] == "<f4" and meta["order"] == "C"
+        assert meta["compressor"] == {"id": "zlib", "level": 1}
+        assert json.load(open(tmp_path / "s.zarr" / ".zgroup")) == {"zarr_format": 2}
+
+
+class TestResize:
+    def test_bilinear_identity(self):
+        x = np.random.default_rng(0).normal(size=(8, 8)).astype(np.float32)
+        np.testing.assert_array_equal(resize_bilinear(x, (8, 8)), x)
+
+    def test_bilinear_downsample_mean_preserving(self):
+        x = np.ones((16, 16), np.float32) * 3.5
+        np.testing.assert_allclose(resize_bilinear(x, (4, 4)), 3.5, rtol=1e-6)
+
+    def test_nearest_preserves_binary(self):
+        rng = np.random.default_rng(0)
+        x = (rng.random((32, 32)) > 0.5).astype(np.float32)
+        out = resize_nearest(x, (16, 16))
+        assert set(np.unique(out)) <= {0.0, 1.0}
+
+
+class TestSDF:
+    def test_reference_semantics(self):
+        mask = np.zeros((8, 8), np.float32)
+        mask[2:6, 2:6] = 1.0
+        sdf = generate_sdf(mask)
+        assert sdf[3, 3] == 10.0  # land: 10 * 1 - 0
+        assert sdf[0, 0] == pytest.approx(-np.sqrt(8.0))  # corner sea distance
+        norm = normalize_sdf(sdf)
+        assert norm.min() == 0.0 and norm.max() == 1.0
+
+    def test_device_jfa_matches_host_edt(self):
+        import jax
+
+        from sbgm_danra_tpu.ops.sdf import generate_sdf_device
+
+        rng = np.random.default_rng(3)
+        mask = (rng.random((24, 24)) > 0.6).astype(np.float32)
+        if mask.max() == 0:
+            mask[0, 0] = 1.0
+        host = sdf_from_mask(mask)
+        dev = np.asarray(jax.jit(generate_sdf_device)(mask))
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+class TestDates:
+    def test_file_date(self):
+        assert file_date("temp_589x789_19910122") == "19910122"
+        assert file_date("t2m_ave_19910122.npz") == "19910122"
+        with pytest.raises(ValueError):
+            file_date("no_date_here")
+
+    def test_season_convention(self):
+        assert season_of("20000315") == 1  # MAM
+        assert season_of("20000701") == 2  # JJA
+        assert season_of("20001005") == 3  # SON
+        assert season_of("20001231") == 4  # DJF
+
+    def test_day_of_year_leap(self):
+        assert day_of_year("20000301") == 61  # 2000 is leap
+        assert day_of_year("20010301") == 60
+
+    def test_classifier(self):
+        assert classifier_from_date("20000615", 4) == 2
+        assert classifier_from_date("20000615", 12) == 6
+        assert classifier_from_date("20000615", 366) == day_of_year("20000615")
+        with pytest.raises(ValueError):
+            classifier_from_date("20000615", 7)
+
+
+class TestUnits:
+    def test_kelvin_to_celsius(self):
+        out = correct_variable_units("temp", "DANRA", np.array([273.15]))
+        np.testing.assert_allclose(out, [0.0])
+
+    def test_era5_precip_m_to_mm(self):
+        out = correct_variable_units("prcp", "ERA5", np.array([0.001, -0.1]))
+        np.testing.assert_allclose(out, [1.0, 1e-10])
+
+    def test_geopotential_to_height(self):
+        out = correct_variable_units("z_pl_500", "ERA5", np.array([9810.0]))
+        np.testing.assert_allclose(out, [1000.0], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    spec = SyntheticSpec(
+        root=root, full_domain=(48, 64), n_days=20,
+        crop_region=(8, 40, 16, 56), seed=0,
+    )
+    written = generate(spec)
+    return root, spec, written
+
+
+class TestSynthetic:
+    def test_layout(self, synth_root):
+        root, spec, written = synth_root
+        p = build_data_path(root, "DANRA", "temp", (48, 64), "train")
+        assert os.path.isdir(p)
+        g = zarrlite.open_group(p)
+        keys = g.keys()
+        assert keys and keys[0].startswith("temp_48x64_2000")
+        field = g[keys[0]]["data"][...]
+        assert field.shape == (48, 64)
+        assert 230 < field.mean() < 330  # Kelvin on disk
+
+    def test_stats_files(self, synth_root):
+        root, spec, _ = synth_root
+        from sbgm_danra_tpu import transforms as T
+
+        stats = T.load_global_stats(
+            os.path.join(root, "stats"), "DANRA", "prcp", "48x64", "8_40_16_56", "all"
+        )
+        assert stats is not None
+        assert stats["min"] >= 0.0 and stats["log_min"] <= stats["log_max"]
+
+    def test_lr_correlates_with_hr(self, synth_root):
+        root, spec, _ = synth_root
+        hr = zarrlite.open_group(build_data_path(root, "DANRA", "temp", (48, 64), "all"))
+        lr = zarrlite.open_group(build_data_path(root, "ERA5", "temp", (48, 64), "all"))
+        k = hr.keys()[0]
+        date = k.split("_")[-1]
+        hr_f = hr[k]["data"][...]
+        lr_f = lr[f"temp_48x64_{date}"]["data"][...]
+        corr = np.corrcoef(hr_f.ravel(), lr_f.ravel())[0, 1]
+        assert corr > 0.8  # real downscaling signal
+
+
+@pytest.fixture(scope="module")
+def dataset(synth_root):
+    root, spec, written = synth_root
+    from sbgm_danra_tpu import transforms as T
+
+    stats_root = os.path.join(root, "stats")
+
+    def src(model, var, method, crop):
+        stats = T.load_global_stats(stats_root, model, var, "48x64", crop, "all")
+        return VariableSource(
+            name=var, model=model,
+            zarr_path=build_data_path(root, model, var, (48, 64), "train"),
+            scaling_method=method,
+            transform=T.transform_from_stats(method, stats, 0.2),
+        )
+
+    lsm = np.load(written["lsm"])["data"]
+    topo = np.load(written["topo"])["data"]
+    return DanraDataset(
+        hr=src("DANRA", "prcp", "log_zscore", "8_40_16_56"),
+        lr_conditions=[src("ERA5", "temp", "zscore", "full"), src("ERA5", "prcp", "log_zscore", "full")],
+        hr_data_size=(16, 16),
+        cutouts=True,
+        cutout_domains=(8, 40, 16, 56),
+        geo_variables=("lsm", "topo"),
+        lsm_full_domain=lsm,
+        topo_full_domain=topo,
+        split="train",
+        sdf_weighted_loss=True,
+        conditional_seasons=True,
+        n_classes=4,
+        cfg_dropout_enabled=True,
+        cfg_dropout_prob=0.5,
+        seed=0,
+    )
+
+
+class TestDataset:
+    def test_sample_contract(self, dataset):
+        s = dataset.__getitem__(0, rng=np.random.default_rng(1))
+        assert set(s) >= {
+            "prcp_hr", "temp_lr", "prcp_lr", "lsm", "topo", "lsm_hr", "sdf",
+            "classifier", "hr_points", "lr_points",
+        }
+        assert s["prcp_hr"].shape == (16, 16, 1)
+        assert s["temp_lr"].shape == (16, 16, 1)
+        assert s["lsm"].shape == (16, 16, 2)  # value || mask channel
+        assert s["topo"].shape == (16, 16, 2)
+        assert s["sdf"].shape == (16, 16, 1)
+        assert 0.0 <= s["sdf"].min() and s["sdf"].max() <= 1.0
+        assert s["classifier"] in (1, 2, 3, 4) or s["classifier"] == 0
+
+    def test_cutout_bounds(self, dataset):
+        for i in range(5):
+            s = dataset.__getitem__(i, rng=np.random.default_rng(i))
+            x1, x2, y1, y2 = s["hr_points"]
+            assert 8 <= x1 < x2 <= 40 and 16 <= y1 < y2 <= 56
+            assert x2 - x1 == 16 and y2 - y1 == 16
+
+    def test_cfg_dropout_protocol(self, dataset):
+        # with drop_prob=0.5, some samples must be dropped and some kept
+        dropped, kept = [], []
+        for i in range(30):
+            s = dataset.__getitem__(0, rng=np.random.default_rng(1000 + i))
+            (dropped if s["lsm"][..., 1].max() == 0 else kept).append(s)
+        assert dropped and kept
+        d = dropped[0]
+        np.testing.assert_array_equal(d["temp_lr"], 0.0)
+        np.testing.assert_array_equal(d["prcp_lr"], 0.0)
+        assert d["classifier"] == 0
+        # value channel survives the drop
+        assert d["topo"][..., 0].max() > 0
+        k = kept[0]
+        np.testing.assert_array_equal(k["lsm"][..., 1], 1.0)
+        assert k["classifier"] in (1, 2, 3, 4)
+
+    def test_reproducible_given_rng(self, dataset):
+        a = dataset.__getitem__(3, rng=np.random.default_rng(7))
+        b = dataset.__getitem__(3, rng=np.random.default_rng(7))
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+    def test_lsm_binary_after_resize(self, dataset):
+        s = dataset.__getitem__(0, rng=np.random.default_rng(0))
+        assert set(np.unique(s["lsm_hr"])) <= {0.0, 1.0}
+        assert set(np.unique(s["lsm"][..., 0])) <= {0.0, 1.0}
+
+
+class TestLoader:
+    def test_batching_and_extract(self, dataset):
+        loader = DataLoader(dataset, batch_size=4, shuffle=True, num_workers=2, seed=0)
+        batch = next(iter(loader))
+        assert batch["prcp_hr"].shape == (4, 16, 16, 1)
+        kw = extract_batch(batch, "prcp")
+        assert kw["x"].shape == (4, 16, 16, 1)
+        assert kw["cond_img"].shape == (4, 16, 16, 2)  # sorted prcp_lr, temp_lr
+        assert kw["lsm_cond"].shape == (4, 16, 16, 2)
+        assert kw["y"].shape == (4,)
+        assert kw["sdf"].shape == (4, 16, 16, 1)
+
+    def test_epoch_reproducibility(self, dataset):
+        l1 = DataLoader(dataset, batch_size=4, shuffle=True, num_workers=2, seed=0)
+        l2 = DataLoader(dataset, batch_size=4, shuffle=True, num_workers=2, seed=0)
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        np.testing.assert_array_equal(b1["prcp_hr"], b2["prcp_hr"])
+
+    def test_device_prefetch(self, dataset):
+        import jax
+
+        loader = DataLoader(dataset, batch_size=2, shuffle=False, num_workers=1, seed=0)
+        batches = list(device_prefetch(iter(loader), depth=2))
+        assert len(batches) == len(loader)
+        assert isinstance(batches[0]["prcp_hr"], jax.Array)
+
+    def test_collate(self):
+        samples = [{"a": np.ones((2, 2))}, {"a": np.zeros((2, 2))}]
+        out = collate(samples)
+        assert out["a"].shape == (2, 2, 2)
+
+
+class TestFindRandPoints:
+    def test_rejects_oversized_crop(self):
+        with pytest.raises(ValueError):
+            find_rand_points((0, 10, 0, 10), (20, 20), np.random.default_rng(0))
