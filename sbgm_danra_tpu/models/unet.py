@@ -393,11 +393,21 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
 
     sde = sde or VESDE()
     dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    # Derive the encoder pyramid from last_fmap_channels: 512 reproduces the
+    # reference's fixed [64, 64, 128, 256, 512]; other values scale the model
+    # coherently (the reference's encoder is hardwired to ResNet-18 widths, so
+    # its last_fmap_channels sweep knob crashes any non-512 trial —
+    # run_optuna.py prunes those on AssertionError).
+    if spec.last_fmap_channels % 8 != 0:
+        raise ValueError("last_fmap_channels must be divisible by 8")
+    base = spec.last_fmap_channels // 8
+    fmap_channels = (base, base, 2 * base, 4 * base, 8 * base)
     encoder = Encoder(
         time_embedding=spec.time_embedding,
         block_layers=tuple(spec.block_layers),
         n_heads=spec.num_heads,
         num_classes=spec.num_classes,
+        fmap_channels=fmap_channels,
         attention_backend=spec.attention_backend,
         compute_dtype=dtype,
         bn_axis_name=spec.bn_axis_name,
@@ -406,6 +416,7 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
         last_fmap_channels=spec.last_fmap_channels,
         output_channels=spec.output_channels,
         time_embedding=spec.time_embedding,
+        first_fmap_channels=base,
         n_heads=spec.num_heads,
         use_resize_conv=spec.use_resize_conv,
         norm=spec.decoder_norm,

