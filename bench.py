@@ -1,0 +1,142 @@
+"""Benchmark: SDE sampler throughput of the flagship model on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Headline metric: predictor-corrector sampler steps/sec/chip at 128x128 with
+classifier-free guidance enabled (the reference's default generation workload:
+pc_sampler, 1000 steps, CFG w=3 -> 4 UNet forwards per step,
+sbgm/config/default_config.yaml:52-53,132-135). The reference publishes no
+numbers (BASELINE.md), so vs_baseline is measured against the driver's stated
+north-star: a 100-member conditional ensemble at 128x128 in <= 60 s on a v5e-8
+(~13 members/chip, 1000 PC+CFG steps). vs_baseline = 60 s / projected time —
+values > 1 beat the target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# Persistent compilation cache: the first bench compile of the 128x128 scan
+# takes tens of minutes over the remote-compile path; subsequent runs are
+# seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _flagship(size: int = 128):
+    from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+    from sbgm_danra_tpu.sde import VESDE
+
+    spec = ModelSpec(in_channels=6, num_classes=4, compute_dtype="bfloat16")
+    sde = VESDE()
+    model = build_score_model(spec, sde)
+    return model, sde
+
+
+def _cond(b: int, size: int):
+    rng = np.random.default_rng(0)
+    return {
+        "y": jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
+        "cond_img": jnp.asarray(rng.normal(size=(b, size, size, 2)).astype(np.float32)),
+        "lsm_cond": jnp.asarray(
+            (rng.random((b, size, size, 2)) > 0.5).astype(np.float32)
+        ),
+        "topo_cond": jnp.asarray(rng.normal(size=(b, size, size, 2)).astype(np.float32)),
+    }
+
+
+def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0):
+    """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
+    from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
+    from sbgm_danra_tpu.training.train_step import make_score_fn
+
+    model, sde = _flagship(size)
+    cond = _cond(batch, size)
+    init_kwargs = dict(
+        x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **init_kwargs, train=False)
+
+    def score_fn(x, t, **kw):
+        return model.apply(variables, x, t, **kw, train=False)
+
+    config = SamplerConfig(num_steps=steps, guidance_scale=cfg_scale)
+
+    run = jax.jit(
+        lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
+    )
+    # compile + warmup
+    run(jax.random.PRNGKey(0)).block_until_ready()
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        run(jax.random.PRNGKey(i)).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    return steps / dt
+
+
+def bench_train(batch: int = 16, size: int = 128, iters: int = 10):
+    """Training samples/sec/chip on the flagship model."""
+    from sbgm_danra_tpu.config import from_dict
+    from sbgm_danra_tpu.training.state import create_train_state
+    from sbgm_danra_tpu.training.train_step import make_train_step
+
+    model, sde = _flagship(size)
+    cond = _cond(batch, size)
+    rng = np.random.default_rng(1)
+    full = dict(
+        x=jnp.asarray(rng.normal(size=(batch, size, size, 1)).astype(np.float32)),
+        sdf=jnp.asarray(rng.uniform(size=(batch, size, size, 1)).astype(np.float32)),
+        **cond,
+    )
+    cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
+    init = {k: v for k, v in full.items() if k != "sdf"}
+    state = create_train_state(cfg, model, init, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, sde))
+    state, m = step(state, full, jax.random.PRNGKey(1))
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, full, jax.random.PRNGKey(i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def main():
+    platform = jax.default_backend()
+    device = str(jax.devices()[0])
+    steps_per_sec = bench_sampler()
+    train_samples_per_sec = bench_train()
+    # north-star projection: 100-member ensemble on v5e-8 = 13 members/chip,
+    # 1000 PC+CFG steps at the measured per-chip rate.
+    projected_ensemble_s = 1000.0 / steps_per_sec
+    vs_baseline = 60.0 / projected_ensemble_s
+    print(
+        json.dumps(
+            {
+                "metric": "pc_sampler_steps_per_sec_per_chip_128px_cfg",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "baseline_definition": "60s / projected 100-member-ensemble time on 8 chips (>1 beats target)",
+                "projected_100member_ensemble_s_v5e8": round(projected_ensemble_s, 1),
+                "train_samples_per_sec_per_chip_128px": round(train_samples_per_sec, 2),
+                "platform": platform,
+                "device": device,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,14 @@ def generate_ensemble(
     def run(key, c):
         return sampler_fn(score_fn, key, shape, sde, config, cond=c)
 
+    if mesh is not None and n_members % mesh.devices.size != 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "n_members %d not divisible by %d mesh devices; running unsharded",
+            n_members, mesh.devices.size,
+        )
+        mesh = None
     if mesh is None:
         return jax.jit(run)(rng, full_cond)
 

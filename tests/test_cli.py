@@ -1,0 +1,125 @@
+"""CLI end-to-end: synthetic data -> stats -> train -> generate -> evaluate.
+
+Exercises the same surface a user drives (python -m sbgm_danra_tpu.cli.main_app)
+on a tiny synthetic config, including the existence gates.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from sbgm_danra_tpu.cli.main_app import (
+    check_generated_samples_exist,
+    check_model_exists,
+    main,
+)
+from sbgm_danra_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_env"))
+    cfg_dict = {
+        "experiment": {"name": "cli_e2e", "config_name": "cli_e2e"},
+        "paths": {
+            "data_dir": os.path.join(root, "data"),
+            "checkpoint_dir": os.path.join(root, "ckpt"),
+            "sample_dir": os.path.join(root, "samples"),
+            "path_save": os.path.join(root, "samples"),
+            "lsm_path": os.path.join(root, "data/data_lsm/truth_fullDomain/lsm_full.npz"),
+            "topo_path": os.path.join(root, "data/data_topo/truth_fullDomain/topo_full.npz"),
+            "stats_load_dir": os.path.join(root, "data/stats"),
+        },
+        "highres": {
+            "model": "DANRA", "variable": "prcp", "data_size": [32, 32],
+            "scaling_method": "log_zscore", "full_domain_dims": [48, 64],
+            "cutout_domains": [8, 40, 16, 56], "buffer_frac": 0.2,
+        },
+        "lowres": {
+            "model": "ERA5", "condition_variables": ["temp"],
+            "scaling_methods": ["zscore"], "full_domain_dims": [48, 64],
+            "buffer_frac": 0.2,
+        },
+        "sampler": {
+            "sampler_type": "em_sampler", "n_timesteps": 10,
+            "time_embedding": 32, "last_fmap_channels": 64,
+            "num_heads": 2, "block_layers": [1, 1, 1, 1],
+        },
+        "data_handling": {"num_workers": 2, "n_gen_samples": 2},
+        "training": {
+            "seed": 0, "batch_size": 4, "learning_rate": 1e-3, "epochs": 1,
+            "steps_per_epoch": 2, "with_ema": True, "ema_decay": 0.99,
+            "early_stopping": False, "lr_scheduler": "none",
+            "monitor_extremes": False, "verbose": False,
+        },
+        "classifier_free_guidance": {
+            "enabled": True, "drop_prob": 0.1, "guidance_scale": 1.0,
+        },
+        "evaluation": {
+            "n_gen_samples": 2, "n_steps": 8, "seed": 0,
+            "gen_type": ["multiple", "repeated"], "n_repeats": 4,
+            "eval_stat_methods": ["pixel_stats", "spatial_stats", "crps"],
+        },
+    }
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+    return root, cfg_path
+
+
+class TestCLIFullPipeline:
+    def test_synthetic_then_full_pipeline(self, cli_env):
+        root, cfg_path = cli_env
+        cfg = load_config(cfg_path)
+
+        # gates closed before anything exists
+        assert not check_model_exists(cfg)
+        assert not check_generated_samples_exist(cfg)
+        with pytest.raises(SystemExit):
+            main(["--config_path", cfg_path, "--mode", "generate"])
+
+        # synthetic data (writes stats too)
+        main(["--config_path", cfg_path, "--mode", "synthetic_data", "--n_days", "16"])
+        assert os.path.isdir(os.path.join(root, "data", "data_DANRA"))
+        assert glob.glob(os.path.join(root, "data/stats/DANRA/prcp/all/*.json"))
+
+        # stats pipeline recomputes/overwrites from the stores
+        main(["--config_path", cfg_path, "--mode", "run_statistics"])
+
+        # full pipeline: train -> generate -> evaluate
+        main(["--config_path", cfg_path, "--mode", "full_pipeline"])
+
+        assert check_model_exists(cfg)
+        assert check_generated_samples_exist(cfg)
+
+        from sbgm_danra_tpu.utils.naming import get_model_string
+
+        sample_path = os.path.join(
+            root, "samples", "generation", get_model_string(cfg), "generated_samples"
+        )
+        gen = glob.glob(os.path.join(sample_path, "gen_samples_multi_n_*.npz"))
+        assert gen, os.listdir(sample_path)
+        arr = np.load(gen[0])["arr_0"]
+        assert arr.shape[-2:] == (32, 32)
+        assert np.isfinite(arr).all()
+        # back-transformed precip must be non-negative (log-space inverse)
+        assert arr.min() >= 0.0
+        # ensemble artifact
+        rep = glob.glob(os.path.join(sample_path, "gen_samples_repeated_4.npz"))
+        assert rep
+        assert np.load(rep[0])["arr_0"].shape[0] == 4
+        # evaluation stats written
+        fig_path = os.path.join(
+            root, "samples", "generation", get_model_string(cfg), "evaluation_figures"
+        )
+        assert glob.glob(os.path.join(fig_path, "pixel_stats_*.npz"))
+        assert glob.glob(os.path.join(fig_path, "examples_*.png"))
+
+    def test_config_overrides(self, cli_env):
+        root, cfg_path = cli_env
+        cfg = load_config(cfg_path, {"training.epochs": 7, "sampler.num_heads": 4})
+        assert cfg.training.epochs == 7
+        assert cfg.sampler.num_heads == 4

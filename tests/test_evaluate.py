@@ -1,0 +1,174 @@
+"""Generation artifacts, evaluation metrics, CRPS, and pipelines (splits/stats)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.evaluate.crps import crps_ensemble, crps_mean
+
+
+class TestCRPS:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        members = rng.normal(size=(9, 5, 5))
+        obs = rng.normal(size=(5, 5))
+        got = crps_ensemble(members, obs, fair=False)
+        m = members.shape[0]
+        mae = np.abs(members - obs).mean(axis=0)
+        spread = np.abs(members[:, None] - members[None, :]).mean(axis=(0, 1))
+        expected = mae - 0.5 * spread
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+    def test_fair_variant(self):
+        rng = np.random.default_rng(1)
+        members = rng.normal(size=(7, 4))
+        obs = rng.normal(size=(4,))
+        got = crps_ensemble(members, obs, fair=True)
+        m = members.shape[0]
+        mae = np.abs(members - obs).mean(axis=0)
+        spread = np.abs(members[:, None] - members[None, :]).sum(axis=(0, 1)) / (
+            m * (m - 1)
+        )
+        np.testing.assert_allclose(got, mae - 0.5 * spread, rtol=1e-10)
+
+    def test_perfect_deterministic_forecast(self):
+        obs = np.ones((3, 3))
+        members = np.ones((5, 3, 3))
+        assert crps_mean(members, obs) == pytest.approx(0.0)
+
+    def test_sharp_beats_flat(self):
+        rng = np.random.default_rng(2)
+        obs = np.zeros((64,))
+        sharp = rng.normal(0, 0.1, size=(50, 64))
+        flat = rng.normal(0, 2.0, size=(50, 64))
+        assert crps_mean(sharp, obs) < crps_mean(flat, obs)
+
+
+class TestSplitsPipeline:
+    def test_time_and_random_split(self, tmp_path):
+        from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+        from sbgm_danra_tpu.data import zarrlite
+        from sbgm_danra_tpu.data.paths import build_data_path
+        from sbgm_danra_tpu.pipelines.splits import (
+            SplitSpec, assign_splits, create_data_splits,
+        )
+
+        root = str(tmp_path)
+        generate(SyntheticSpec(root=root, full_domain=(24, 32), n_days=30,
+                               start_date="19991215"))
+        written = create_data_splits(
+            root,
+            {"DANRA": ["temp"], "ERA5": ["temp"]},
+            (24, 32),
+            SplitSpec(method="Time", year_ranges={"train": (1999, 1999), "valid": (2000, 2000)}),
+        )
+        # Dec 15-31 1999 = 17 days in train; rest in valid
+        assert written["DANRA/temp/train"] == 17
+        assert written["DANRA/temp/valid"] == 13
+        g = zarrlite.open_group(build_data_path(root, "DANRA", "temp", (24, 32), "train"))
+        assert len(g.keys()) == 17
+
+        splits = assign_splits([f"2000010{i}" for i in range(1, 10)],
+                               SplitSpec(method="Random", fractions={"a": 0.5, "b": 0.5}))
+        assert len(splits["a"]) + len(splits["b"]) == 9
+
+    def test_unknown_method(self):
+        from sbgm_danra_tpu.pipelines.splits import SplitSpec, assign_splits
+
+        with pytest.raises(ValueError):
+            assign_splits(["20000101"], SplitSpec(method="bogus"))
+
+
+class TestStatsPipeline:
+    def test_streaming_matches_direct(self, tmp_path):
+        from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+        from sbgm_danra_tpu.data.paths import build_data_path
+        from sbgm_danra_tpu.data import zarrlite
+        from sbgm_danra_tpu.pipelines.stats_pipeline import compute_global_stats
+        from sbgm_danra_tpu.utils.units import correct_variable_units
+
+        root = str(tmp_path)
+        generate(SyntheticSpec(root=root, full_domain=(24, 32), n_days=10))
+        store = build_data_path(root, "DANRA", "temp", (24, 32), "all")
+        stats = compute_global_stats(store, "temp", "DANRA", num_workers=2)
+
+        g = zarrlite.open_group(store)
+        fields = np.stack(
+            [correct_variable_units("temp", "DANRA", g[k]["data"][...]) for k in g.keys()]
+        ).astype(np.float64)
+        assert stats["mean"] == pytest.approx(fields.mean(), rel=1e-9)
+        assert stats["std"] == pytest.approx(fields.std(), rel=1e-6)
+        assert stats["min"] == pytest.approx(fields.min())
+        assert stats["max"] == pytest.approx(fields.max())
+        logf = np.log(np.maximum(fields, 0) + 0.01)
+        assert stats["log_mean"] == pytest.approx(logf.mean(), rel=1e-9)
+
+    def test_crop_region(self, tmp_path):
+        from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+        from sbgm_danra_tpu.data.paths import build_data_path
+        from sbgm_danra_tpu.pipelines.stats_pipeline import compute_global_stats
+
+        root = str(tmp_path)
+        generate(SyntheticSpec(root=root, full_domain=(24, 32), n_days=4))
+        store = build_data_path(root, "DANRA", "temp", (24, 32), "all")
+        full = compute_global_stats(store, "temp", "DANRA")
+        crop = compute_global_stats(store, "temp", "DANRA", crop_region=(4, 12, 8, 16))
+        assert crop["n"] == 4 * 8 * 8
+        assert crop["n"] < full["n"]
+
+
+class TestEvaluationArtifacts:
+    @pytest.fixture()
+    def artifacts(self, tmp_path):
+        """Hand-written artifacts in the SampleGenerator layout."""
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.utils.naming import get_model_string
+
+        cfg = from_dict(
+            {
+                "paths": {"sample_dir": str(tmp_path)},
+                "highres": {"variable": "prcp"},
+                "lowres": {"condition_variables": ["temp"], "scaling_methods": ["zscore"]},
+                "evaluation": {"n_repeats": 6},
+            }
+        )
+        rng = np.random.default_rng(0)
+        sample_path = os.path.join(
+            str(tmp_path), "generation", get_model_string(cfg), "generated_samples"
+        )
+        os.makedirs(sample_path, exist_ok=True)
+        truth = rng.normal(size=(1, 16, 16))
+        members = truth + rng.normal(0, 0.3, size=(6, 16, 16))
+        np.savez_compressed(os.path.join(sample_path, "gen_samples_repeated_6.npz"), members)
+        np.savez_compressed(os.path.join(sample_path, "eval_samples_repeated_6.npz"), truth)
+        np.savez_compressed(
+            os.path.join(sample_path, "seasons_repeated_6.npz"), np.array([2])
+        )
+        return cfg
+
+    def test_evaluation_loads_and_scores(self, artifacts):
+        from sbgm_danra_tpu.evaluate.evaluation import Evaluation
+
+        ev = Evaluation(artifacts, generated_sample_type="repeated", n_samples=6)
+        px = ev.full_pixel_statistics(save_stats=False)
+        assert px["rmse_per_sample"].shape == (6,)
+        sp = ev.spatial_statistics(save_stats=False)
+        assert sp["rmse_map"].shape == (16, 16)
+        scores = ev.ensemble_crps()
+        assert 0 < scores["crps"] < 1.0
+        assert scores["spread"] > 0
+
+    def test_missing_artifact_raises(self, artifacts):
+        from sbgm_danra_tpu.evaluate.evaluation import Evaluation
+
+        with pytest.raises(FileNotFoundError):
+            Evaluation(artifacts, generated_sample_type="multiple", n_samples=4)
+
+    def test_plot_examples(self, artifacts):
+        from sbgm_danra_tpu.evaluate.evaluation import Evaluation
+
+        ev = Evaluation(artifacts, generated_sample_type="repeated", n_samples=6)
+        path = ev.plot_example_images(n_samples=2)
+        assert os.path.exists(path)
