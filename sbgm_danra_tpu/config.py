@@ -316,6 +316,12 @@ def _jsonify(obj: Any) -> Any:
         return [_jsonify(v) for v in obj]
     if isinstance(obj, list):
         return [_jsonify(v) for v in obj]
+    # numpy scalars leak in from samplers/metrics; YAML needs Python natives
+    if hasattr(obj, "item") and not isinstance(obj, (str, bytes)):
+        try:
+            return obj.item()
+        except Exception:
+            return obj
     return obj
 
 

@@ -24,6 +24,9 @@ Array = jax.Array
 # fused attention is at least as good and compiles faster.
 _MIN_TOKENS_FOR_PALLAS = 4096
 
+# Test hook: force the Pallas path regardless of platform/size (interpreter on CPU).
+_FORCE_PALLAS = False
+
 
 def flash_attention(q: Array, k: Array, v: Array) -> Array:
     """Self-attention over [B, S, H, D] q/k/v; returns [B, S, H, D].
@@ -32,7 +35,7 @@ def flash_attention(q: Array, k: Array, v: Array) -> Array:
     """
     s = q.shape[1]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and s >= _MIN_TOKENS_FOR_PALLAS:
+    if _FORCE_PALLAS or (on_tpu and s >= _MIN_TOKENS_FOR_PALLAS):
         from sbgm_danra_tpu.ops.pallas_attention import pallas_flash_attention
 
         return pallas_flash_attention(q, k, v)
