@@ -232,6 +232,8 @@ class TrainingConfig:
     # Anomaly detection analogue: finite-checks on loss/grads (reference
     # training.py:403-405 detect_anomaly).
     detect_anomaly: bool = False
+    # jax.profiler trace directory for the first training epoch ('' = off).
+    profile_dir: str = ""
 
 
 @dataclass

@@ -141,12 +141,31 @@ class TrainingPipeline:
 
     def train_batches(self, max_steps: Optional[int] = None) -> float:
         """One epoch of optimization (reference train_batches, training.py:246-422)."""
+        from sbgm_danra_tpu.utils.profiling import StepTimer, trace
+
         cfg = self.cfg
         losses = []
         monitor_every = 50
+        timer = StepTimer()
+        profile_dir = cfg.training.profile_dir if self.epoch == 0 else ""
+        with trace(profile_dir):
+            self._run_train_batches(max_steps, losses, timer, monitor_every)
+        if timer.steps_per_sec > 0:
+            logger.info(
+                "epoch %d throughput: %.2f steps/s (%.1f samples/s)",
+                self.epoch, timer.steps_per_sec,
+                timer.items_per_sec(cfg.training.batch_size),
+            )
+        if not losses:
+            return float("nan")
+        return float(jnp.mean(jnp.stack(losses)))
+
+    def _run_train_batches(self, max_steps, losses, timer, monitor_every) -> None:
+        cfg = self.cfg
         for i, batch in enumerate(self._batches(self.train_loader)):
             if max_steps is not None and i >= max_steps:
                 break
+            timer.tick()
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             if cfg.training.detect_anomaly and "finite" in metrics:
@@ -163,9 +182,6 @@ class TrainingPipeline:
             ):
                 hr_bt = np.asarray(self.back_transforms["generated"](batch["x"]))
                 report_precip_extremes(hr_bt, "train-HR", cfg.training.extreme_cap)
-        if not losses:
-            return float("nan")
-        return float(jnp.mean(jnp.stack(losses)))
 
     def validate_batches(self, max_steps: Optional[int] = None) -> float:
         if self.valid_loader is None:

@@ -1,0 +1,227 @@
+"""ERA5 ETL: request construction, resume logic, streaming, worker completeness.
+
+All external tools (cdsapi, cdo, rsync/ssh) are injected fakes — the logic
+under test is the pipeline's: request payloads, skip/redo decisions, command
+construction, year completeness, and file flow.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.pipelines.era5.cdo_utils import (
+    convert_daily_to_npz,
+    convert_to_daily_stat,
+    daily_stat_for,
+    find_data_var,
+    regrid_to_danra,
+)
+from sbgm_danra_tpu.pipelines.era5.download import (
+    DownloadSpec,
+    build_request,
+    dataset_name,
+    download_year,
+    pull_all,
+    target_path,
+)
+from sbgm_danra_tpu.pipelines.era5.stream import download_transfer_delete, years_to_process
+from sbgm_danra_tpu.pipelines.era5.transfer import remote_years_present, rsync_push
+from sbgm_danra_tpu.pipelines.era5.worker import (
+    days_in_year,
+    process_year,
+    run_worker,
+    year_complete,
+)
+
+
+class FakeClient:
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, dataset, request, target):
+        self.calls.append((dataset, request, target))
+        with open(target, "w") as f:
+            f.write("fake-nc")
+
+
+class TestDownload:
+    def test_request_payload(self):
+        req = build_request("temp", 1995, (60, -80, 40, 40))
+        assert req["variable"] == "2m_temperature"
+        assert req["year"] == "1995"
+        assert len(req["month"]) == 12 and len(req["time"]) == 24
+        assert dataset_name(None) == "reanalysis-era5-single-levels"
+
+    def test_pressure_level_request(self):
+        req = build_request("z", 2000, (60, -80, 40, 40), pressure_level=500)
+        assert req["pressure_level"] == "500"
+        assert dataset_name(500) == "reanalysis-era5-pressure-levels"
+
+    def test_unknown_variable(self):
+        with pytest.raises(ValueError):
+            build_request("bogus", 2000, (60, -80, 40, 40))
+
+    def test_download_skips_existing(self, tmp_path):
+        client = FakeClient()
+        spec = DownloadSpec(("temp",), (1999,), out_dir=str(tmp_path))
+        p1 = download_year(client, spec, "temp", 1999)
+        p2 = download_year(client, spec, "temp", 1999)
+        assert p1 == p2 and len(client.calls) == 1  # resume: no re-download
+
+    def test_pull_all_fanout(self, tmp_path):
+        client = FakeClient()
+        spec = DownloadSpec(
+            ("temp", "prcp"), (2000, 2001), out_dir=str(tmp_path), max_workers=2
+        )
+        out = pull_all(client, spec)
+        assert len(out) == 4 and len(client.calls) == 4
+
+    def test_pressure_fanout(self, tmp_path):
+        client = FakeClient()
+        spec = DownloadSpec(
+            ("z",), (2000,), out_dir=str(tmp_path), pressure_levels=(250, 500)
+        )
+        out = pull_all(client, spec)
+        assert {os.path.basename(p) for p in out} == {
+            "era5_z_pl250_2000.nc", "era5_z_pl500_2000.nc",
+        }
+
+
+class TestCDO:
+    def test_daily_stats_per_variable(self):
+        assert daily_stat_for("prcp") == "daysum"
+        assert daily_stat_for("cape") == "daymax"
+        assert daily_stat_for("temp") == "daymean"
+
+    def test_command_construction(self):
+        calls = []
+        runner = calls.append
+        convert_to_daily_stat("in.nc", "out.nc", "prcp", runner)
+        regrid_to_danra("out.nc", "re.nc", "danra.grid", None, runner)
+        regrid_to_danra("out.nc", "re.nc", "danra.grid", "w.nc", runner)  # no weights file yet
+        assert calls[0] == ["cdo", "-O", "daysum", "in.nc", "out.nc"]
+        assert calls[1] == ["cdo", "-O", "remapbil,danra.grid", "out.nc", "re.nc"]
+        assert calls[2][2].startswith("remapbil")  # weights file absent -> inline
+
+    def test_find_data_var(self):
+        assert find_data_var(["time", "lat", "lon", "t2m"], "temp") == "t2m"
+        assert find_data_var(["time", "lat", "lon", "weird"], "temp") == "weird"
+        with pytest.raises(ValueError):
+            find_data_var(["time", "a", "b"], "temp")
+
+    def test_daily_npz_naming(self, tmp_path):
+        n = convert_daily_to_npz(
+            ["20000101", "20000102"],
+            np.zeros((2, 4, 6), np.float32),
+            str(tmp_path), "prcp", (4, 6),
+        )
+        assert n == 2
+        assert os.path.exists(tmp_path / "prcp_4x6_20000101.npz")
+
+
+class TestStreamResume:
+    def test_years_to_process_redoes_newest(self):
+        # reference stream.py:100-123 — skip complete years except the max
+        assert years_to_process([1995, 1996, 1997, 1998], {1995, 1996}) == [
+            1996, 1997, 1998,
+        ]
+        assert years_to_process([1995, 1996], set()) == [1995, 1996]
+
+    def test_download_transfer_delete(self, tmp_path):
+        client = FakeClient()
+        spec = DownloadSpec(("temp",), (1999, 2000), out_dir=str(tmp_path))
+        pushed = []
+
+        def fake_runner(argv):
+            if argv[0] == "ssh":
+                return "era5_temp_1999.nc\n"  # 1999 already remote (will redo: max)
+            pushed.append(argv)
+            return ""
+
+        done = download_transfer_delete(
+            client, spec, "user@cluster", "/scratch/era5", runner=fake_runner
+        )
+        assert done["temp"] == [1999, 2000]
+        assert len(pushed) == 2
+        # local files deleted after push
+        assert not list(tmp_path.glob("*.nc"))
+
+
+class TestWorker:
+    @staticmethod
+    def _fake_reader(year, h=4, w=6):
+        def reader(path):
+            n = days_in_year(year)
+            dates = []
+            import datetime as dt
+
+            d = dt.date(year, 1, 1)
+            for _ in range(n):
+                dates.append(d.strftime("%Y%m%d"))
+                d += dt.timedelta(days=1)
+            return dates, np.zeros((n, h, w), np.float32)
+
+        return reader
+
+    def test_year_complete_and_partial_cleanup(self, tmp_path):
+        out = str(tmp_path)
+        # write a partial year (2 days)
+        for d in ("20010101", "20010102"):
+            np.savez(os.path.join(out, f"temp_4x6_{d}.npz"), data=np.zeros((4, 6)))
+        assert not year_complete(out, "temp", 2001, (4, 6))
+        # partial files were cleaned for redo
+        assert not list(tmp_path.glob("*.npz"))
+
+    def test_process_year_and_completeness(self, tmp_path):
+        raw = tmp_path / "era5_temp_2001.nc"
+        raw.write_text("fake")
+        calls = []
+        n = process_year(
+            str(raw), "temp", 2001, str(tmp_path / "out"), "danra.grid",
+            self._fake_reader(2001, 4, 6), (4, 6), runner=calls.append,
+        )
+        assert n == 365
+        assert year_complete(str(tmp_path / "out"), "temp", 2001, (4, 6))
+        assert [c[2].split(",")[0] for c in calls] == ["daymean", "remapbil"]
+
+    def test_run_worker_skips_complete(self, tmp_path):
+        raw_dir = tmp_path / "raw"
+        raw_dir.mkdir()
+        (raw_dir / "era5_temp_2001.nc").write_text("fake")
+        (raw_dir / "era5_temp_2002.nc").write_text("fake")
+        out_root = str(tmp_path / "out")
+
+        def reader(path):
+            year = 2001 if "2001" in path else 2002
+            return self._fake_reader(year, 4, 6)(path)
+
+        done1 = run_worker(
+            str(raw_dir), out_root, ["temp"], [2001, 2002], "g", reader, (4, 6),
+            runner=lambda argv: None, max_workers=2,
+        )
+        assert sorted(done1["temp"]) == [2001, 2002]
+        # second run: everything complete -> nothing processed
+        done2 = run_worker(
+            str(raw_dir), out_root, ["temp"], [2001, 2002], "g", reader, (4, 6),
+            runner=lambda argv: None,
+        )
+        assert done2["temp"] == []
+
+
+class TestTransfer:
+    def test_rsync_command(self):
+        calls = []
+        rsync_push("/tmp/f.nc", "u@host", "/data", runner=lambda a: calls.append(a) or "")
+        assert calls[0][0] == "rsync" and calls[0][-1] == "u@host:/data/"
+
+    def test_remote_inventory(self):
+        listing = "era5_temp_1995.nc era5_temp_1996.nc era5_prcp_1997.nc"
+        years = remote_years_present("u@h", "/d", "temp", runner=lambda a: listing)
+        assert years == {1995, 1996}
+
+    def test_missing_binary_gate(self):
+        from sbgm_danra_tpu.pipelines.era5.cdo_utils import subprocess_runner
+
+        with pytest.raises(RuntimeError, match="not installed"):
+            subprocess_runner(["definitely_not_a_real_binary_xyz", "--flag"])
