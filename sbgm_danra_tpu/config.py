@@ -234,6 +234,8 @@ class TrainingConfig:
     detect_anomaly: bool = False
     # jax.profiler trace directory for the first training epoch ('' = off).
     profile_dir: str = ""
+    # Rematerialize the forward pass on backward (activation memory ~O(1)).
+    remat: bool = False
 
 
 @dataclass

@@ -1,0 +1,117 @@
+"""ctypes binding to the native chunk codec (native/zarr_codec.cpp).
+
+Accelerates the zarrlite read path: one C call per chunk does
+file-read + zlib-inflate + crop-copy with the GIL released, so loader threads
+scale across cores. Falls back silently to the pure-Python path when the
+shared library hasn't been built (``make -C native``) — functionality is
+identical either way; this is a throughput optimization.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_NAME = "libzarr_codec.so"
+_lib: Optional[ctypes.CDLL] = None
+_checked = False
+
+
+def _find_library() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "..", "..", "native", _LIB_NAME),
+        os.path.join(here, _LIB_NAME),
+        os.environ.get("SBGM_ZARR_CODEC", ""),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return os.path.abspath(c)
+    return None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _checked
+    if _checked:
+        return _lib
+    _checked = True
+    path = _find_library()
+    if path is None:
+        logger.debug("native zarr codec not built; using pure-Python chunk IO")
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.decompress_crop.restype = ctypes.c_int
+        lib.decompress_crop.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.compress_bound.restype = ctypes.c_int64
+        lib.compress_bound.argtypes = [ctypes.c_int64]
+        lib.compress_buffer.restype = ctypes.c_int64
+        lib.compress_buffer.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        _lib = lib
+        logger.info("native zarr codec loaded from %s", path)
+    except OSError as e:
+        logger.warning("failed to load native zarr codec: %s", e)
+    return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def decompress_crop(
+    path: str,
+    compressed: bool,
+    chunk_shape: Tuple[int, int],
+    dtype: np.dtype,
+    window: Tuple[int, int, int, int],
+) -> Optional[np.ndarray]:
+    """Native read of a 2-D chunk crop; None when the library is unavailable
+    or the dtype is unsupported (caller falls back to Python)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    if dtype.itemsize not in (4, 8) or dtype.byteorder == ">":
+        return None
+    x1, x2, y1, y2 = window
+    out = np.empty((x2 - x1, y2 - y1), dtype=dtype)
+    rc = lib.decompress_crop(
+        path.encode(), int(compressed),
+        chunk_shape[0], chunk_shape[1], dtype.itemsize,
+        x1, x2, y1, y2,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        logger.warning("native codec error %d for %s; falling back", rc, path)
+        return None
+    return out
+
+
+def compress(data: bytes, level: int = 1) -> Optional[bytes]:
+    lib = load_library()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = int(lib.compress_bound(len(data)))
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.compress_buffer(
+        src.ctypes.data_as(ctypes.c_void_p), len(data), level,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -131,7 +131,6 @@ class ZArray:
 
         def rec(axis: int, idx: List[int]):
             if axis == self.ndim:
-                chunk = self._read_chunk(idx)
                 src_sel, dst_sel = [], []
                 for ax, (ci, (lo, hi), c) in enumerate(zip(idx, ranges, self.chunks)):
                     c0 = ci * c
@@ -139,6 +138,25 @@ class ZArray:
                     s_hi = min(hi, c0 + c)
                     src_sel.append(slice(s_lo - c0, s_hi - c0))
                     dst_sel.append(slice(s_lo - lo, s_hi - lo))
+                # native fast path: 2-D chunk, one C call does
+                # read+inflate+crop with the GIL released.
+                if self.ndim == 2:
+                    from sbgm_danra_tpu.data import native_codec
+
+                    p = self._chunk_path(idx)
+                    if native_codec.available() and os.path.exists(p):
+                        window = (
+                            src_sel[0].start, src_sel[0].stop,
+                            src_sel[1].start, src_sel[1].stop,
+                        )
+                        cropped = native_codec.decompress_crop(
+                            p, self.compressor is not None, self.chunks,
+                            self.dtype, window,
+                        )
+                        if cropped is not None:
+                            out[tuple(dst_sel)] = cropped
+                            return
+                chunk = self._read_chunk(idx)
                 out[tuple(dst_sel)] = chunk[tuple(src_sel)]
                 return
             for ci in chunk_ranges[axis]:
@@ -240,7 +258,7 @@ class Group:
             shutil.rmtree(sub)
         os.makedirs(sub, exist_ok=True)
         if chunks is None:
-            chunks = data.shape if data.ndim else (1,)
+            chunks = _auto_chunks(data.shape, data.dtype.itemsize) if data.ndim else (1,)
         chunks = tuple(int(min(c, s)) if s else 1 for c, s in zip(chunks, data.shape))
         comp = {"id": "zlib", "level": level} if compressor == "zlib" else None
         meta = {
@@ -279,6 +297,30 @@ class Group:
         else:
             arr._write_chunk((0,), data.reshape(1))
         return arr
+
+
+_TARGET_CHUNK_BYTES = 128 * 1024
+
+
+def _auto_chunks(shape: Tuple[int, ...], itemsize: int) -> Tuple[int, ...]:
+    """Tile large 2-D arrays so window reads touch only nearby chunks.
+
+    Random-cutout training reads ~128^2 windows out of 589x789 day fields; a
+    single-chunk layout would inflate the whole field per read. Target ~128 KB
+    tiles, splitting the trailing two axes evenly.
+    """
+    if len(shape) < 2:
+        return tuple(shape)
+    nbytes = itemsize
+    for s in shape:
+        nbytes *= s
+    if nbytes <= _TARGET_CHUNK_BYTES:
+        return tuple(shape)
+    splits = int(np.ceil(np.sqrt(nbytes / _TARGET_CHUNK_BYTES)))
+    chunks = list(shape)
+    chunks[-2] = max(-(-shape[-2] // splits), 1)
+    chunks[-1] = max(-(-shape[-1] // splits), 1)
+    return tuple(chunks)
 
 
 def open_group(path: str, mode: str = "r") -> Group:

@@ -110,6 +110,7 @@ class TrainingPipeline:
                     t_eps=cfg.sampler.t_eps,
                     use_sdf_weights=cfg.training.sdf_weighted_loss,
                     detect_anomaly=cfg.training.detect_anomaly,
+                    remat=cfg.training.remat,
                 )
             )
             self._eval_step = jax.jit(

@@ -35,17 +35,22 @@ def make_train_step(
     use_sdf_weights: bool = True,
     detect_anomaly: bool = False,
     pmean_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jittable train step.
 
     ``pmean_axis``: mesh axis name for gradient/metric psum-mean when the step
     runs under shard_map (data parallel); None for single-device.
+    ``remat``: rematerialize the forward pass on backward (jax.checkpoint) —
+    trades ~1.3x FLOPs for O(1) activation memory, enabling full-domain
+    640x832 training batches that would otherwise exceed HBM.
     """
 
     def loss_fn(params, state: TrainState, batch: Batch, rng: Array):
         mutated = {}
 
-        def score_fn(x_t, t, **cond):
+        def raw_score_fn(x_t, t, *cond_values):
+            cond = dict(zip(_COND_KEYS, cond_values))
             out, mut = model.apply(
                 {
                     "params": params,
@@ -58,7 +63,15 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            mutated.update(mut)
+            # BN stats leave the (possibly rematerialized) scope as outputs —
+            # a closure side effect would leak traced values under checkpoint.
+            return out, mut["batch_stats"]
+
+        checkpointed = jax.checkpoint(raw_score_fn) if remat else raw_score_fn
+
+        def score_fn(x_t, t, **cond):
+            out, bn = checkpointed(x_t, t, *(cond.get(k) for k in _COND_KEYS))
+            mutated["batch_stats"] = bn
             return out
 
         loss = dsm_loss(

@@ -1,0 +1,136 @@
+"""Full-domain padding/sampling (BASELINE config 4) and remat training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.evaluate.full_domain import (
+    pad_conditioning,
+    pad_field,
+    padded_dims,
+    sample_full_domain,
+)
+from sbgm_danra_tpu.sampling.samplers import SamplerConfig
+from sbgm_danra_tpu.sde import VESDE
+
+
+class TestPadding:
+    def test_padded_dims(self):
+        assert padded_dims(589, 789) == (608, 800)  # next multiples of 32
+        assert padded_dims(640, 832) == (640, 832)
+        assert padded_dims(128, 128) == (128, 128)
+
+    def test_pad_field_edge(self):
+        x = jnp.arange(12.0).reshape(1, 3, 4, 1)
+        out = pad_field(x, (5, 6))
+        assert out.shape == (1, 5, 6, 1)
+        # edge replication
+        np.testing.assert_array_equal(np.asarray(out[0, 4, :4, 0]), np.asarray(x[0, 2, :, 0]))
+        np.testing.assert_array_equal(np.asarray(out[0, :3, 5, 0]), np.asarray(x[0, :, 3, 0]))
+
+    def test_pad_too_small_raises(self):
+        with pytest.raises(ValueError):
+            pad_field(jnp.zeros((1, 8, 8, 1)), (4, 4))
+
+    def test_geo_mask_channel_zero_padded(self):
+        cond = {
+            "lsm_cond": jnp.ones((1, 4, 4, 2)),
+            "cond_img": jnp.ones((1, 4, 4, 3)),
+            "y": jnp.array([2]),
+        }
+        out = pad_conditioning(cond, (8, 8))
+        assert out["lsm_cond"].shape == (1, 8, 8, 2)
+        # value channel edge-padded (stays 1), mask channel zero outside
+        assert float(out["lsm_cond"][0, 7, 7, 0]) == 1.0
+        assert float(out["lsm_cond"][0, 7, 7, 1]) == 0.0
+        assert float(out["cond_img"][0, 7, 7, 0]) == 1.0
+        assert out["y"].shape == (1,)
+
+
+class TestFullDomainSampling:
+    def test_nondivisible_domain_exact_score(self):
+        """Sample a 37x45 'full domain' (pads to 64x64-ish) with an exact
+        Gaussian score; output crops back to the physical domain."""
+        mu, s0 = 1.0, 2.0
+        sde = VESDE()
+
+        def score(x, t, **kw):
+            var = s0**2 + sde.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - mu) / var
+
+        cond = {"cond_img": jnp.zeros((2, 37, 45, 1))}
+        out = sample_full_domain(
+            score,
+            jax.random.PRNGKey(0),
+            cond,
+            domain_hw=(37, 45),
+            batch=2,
+            config=SamplerConfig(num_steps=100),
+            sampler="em_sampler",
+        )
+        assert out.shape == (2, 37, 45)
+        assert out.mean() == pytest.approx(mu, abs=0.4)
+        assert out.std() == pytest.approx(s0, rel=0.2)
+
+    def test_model_runs_at_padded_full_domain_shape(self):
+        """Tiny UNet forward at a 64x96-padded domain through the real model."""
+        from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+
+        spec = ModelSpec(
+            in_channels=5, time_embedding=32, last_fmap_channels=64,
+            num_heads=2, block_layers=(1, 1, 1, 1), num_classes=4,
+        )
+        model = build_score_model(spec)
+        h, w = padded_dims(57, 91)  # 64, 96
+        x = jnp.zeros((1, h, w, 1))
+        t = jnp.full((1,), 0.5)
+        kw = dict(
+            y=jnp.array([1]),
+            cond_img=jnp.zeros((1, h, w, 1)),
+            lsm_cond=jnp.zeros((1, h, w, 2)),
+            topo_cond=jnp.zeros((1, h, w, 2)),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, **kw, train=False)
+        out = model.apply(variables, x, t, **kw, train=False)
+        assert out.shape == (1, h, w, 1)
+
+
+class TestRemat:
+    def test_remat_matches_plain_gradients(self):
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+        from sbgm_danra_tpu.training.state import create_train_state
+        from sbgm_danra_tpu.training.train_step import make_train_step
+
+        spec = ModelSpec(
+            in_channels=1, time_embedding=32, last_fmap_channels=64,
+            num_heads=2, block_layers=(1, 1, 1, 1), num_classes=None,
+        )
+        model = build_score_model(spec)
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+            "cond_img": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+        }
+        cfg = from_dict({"training": {"learning_rate": 1e-3, "weight_init": False}})
+        state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+
+        plain = jax.jit(make_train_step(model, VESDE(), remat=False))
+        rem = jax.jit(make_train_step(model, VESDE(), remat=True))
+        s1, m1 = plain(state, batch, jax.random.PRNGKey(1))
+        s2, m2 = rem(state, batch, jax.random.PRNGKey(1))
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+        # Adam turns any same-sign gradient pair into (nearly) the same +-lr
+        # first step, but where a gradient is ~0 the remat recomputation's
+        # float noise can flip its sign, moving that param by up to 2*lr —
+        # expected and harmless. Check params agree within that bound, and
+        # that the overwhelming majority agree tightly.
+        lr = 1e-3
+        tight = total = 0
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, atol=2.5 * lr)
+            tight += int((np.abs(a - b) < 1e-5).sum())
+            total += a.size
+        assert tight / total > 0.95
