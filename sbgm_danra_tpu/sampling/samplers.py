@@ -86,7 +86,9 @@ def em_sampler(
         bt = jnp.full((b,), t, jnp.float32)
         g = sde.diffusion_coeff(bt)
         score = guided(x, bt, **cond)
-        mean_x = x + _bcast(g**2, x.ndim) * score * dt
+        # reverse-time Euler: x <- x + (g^2 s - f) dt + g sqrt(dt) z
+        # (f == 0 for VE, matching the reference exactly; VP carries its drift)
+        mean_x = x + (_bcast(g**2, x.ndim) * score - sde.drift(x, bt)) * dt
         z = jax.random.normal(zkey, x.shape, x.dtype)
         x_next = mean_x + jnp.sqrt(dt) * _bcast(g, x.ndim) * z
         return (x_next, key), mean_x
@@ -135,10 +137,10 @@ def pc_sampler(
             + jnp.sqrt(2.0 * langevin_step) * jax.random.normal(ck, x.shape, x.dtype)
         )
 
-        # Predictor: Euler-Maruyama.
+        # Predictor: Euler-Maruyama (reverse-time; f == 0 for VE).
         g = sde.diffusion_coeff(bt)
         score = guided(x, bt, **cond)
-        x_mean = x + _bcast(g**2, x.ndim) * score * dt
+        x_mean = x + (_bcast(g**2, x.ndim) * score - sde.drift(x, bt)) * dt
         x_next = x_mean + _bcast(jnp.sqrt(g**2 * dt), x.ndim) * jax.random.normal(
             pk, x.shape, x.dtype
         )
@@ -149,9 +151,10 @@ def pc_sampler(
 
 
 def _ode_drift(guided, sde, cond, x, t, b):
+    # probability-flow ODE: dx/dt = f(x, t) - 1/2 g(t)^2 s(x, t)
     bt = jnp.full((b,), t, jnp.float32)
     g2 = sde.diffusion_coeff(bt) ** 2
-    return -0.5 * _bcast(g2, x.ndim) * guided(x, bt, **cond)
+    return sde.drift(x, bt) - 0.5 * _bcast(g2, x.ndim) * guided(x, bt, **cond)
 
 
 def ode_sampler(

@@ -56,6 +56,10 @@ class VESDE:
         t = jnp.asarray(t, dtype=jnp.float32)
         return jnp.power(jnp.float32(self.sigma), t)
 
+    def drift(self, x: Array, t: Array) -> Array:
+        """Forward drift f(x, t); zero for VE."""
+        return jnp.zeros_like(x)
+
     def prior_std(self) -> Array:
         """Std of the prior p_1 used to initialize reverse-time sampling."""
         return self.marginal_prob_std(jnp.float32(1.0))
@@ -88,6 +92,12 @@ class VPSDE:
         t = jnp.asarray(t, dtype=jnp.float32)
         beta_t = self.beta_min + t * (self.beta_max - self.beta_min)
         return jnp.sqrt(beta_t)
+
+    def drift(self, x: Array, t: Array) -> Array:
+        """Forward drift f(x, t) = -1/2 beta(t) x."""
+        t = jnp.asarray(t, dtype=jnp.float32)
+        beta_t = self.beta_min + t * (self.beta_max - self.beta_min)
+        return -0.5 * beta_t.reshape((-1,) + (1,) * (x.ndim - 1)) * x
 
     def prior_std(self) -> Array:
         return jnp.float32(1.0)

@@ -136,3 +136,69 @@ class TestEnsemble:
             sampler="em_sampler", config=SamplerConfig(num_steps=20),
         )
         assert samples.shape == (4, 8, 8, 1)
+
+
+class TestRingAttention:
+    def test_matches_dense_attention(self, mesh):
+        from sbgm_danra_tpu.parallel.ring_attention import ring_self_attention
+
+        rng = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(rng, 3)
+        shape = (2, 128, 2, 16)  # S=128 sharded 16-per-device over 8 devices
+        q = jax.random.normal(kq, shape)
+        k = jax.random.normal(kk, shape)
+        v = jax.random.normal(kv, shape)
+        got = ring_self_attention(q, k, v, mesh, "data")
+        want = jax.nn.dot_product_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+        # output stays token-sharded across the ring
+        assert len(got.addressable_shards) == 8
+
+    def test_rejects_nondivisible_tokens(self, mesh):
+        from sbgm_danra_tpu.parallel.ring_attention import ring_self_attention
+
+        x = jnp.zeros((1, 100, 2, 16))
+        with pytest.raises(ValueError):
+            ring_self_attention(x, x, x, mesh, "data")
+
+
+class TestTensorParallelHooks:
+    def test_forward_with_sharded_params(self, devices):
+        """Model forward on a ('data', 'model') mesh with TP-sharded params."""
+        from sbgm_danra_tpu.parallel.mesh import make_mesh
+        from sbgm_danra_tpu.parallel.tp import shard_params, sharded_param_fraction
+
+        mesh2d = make_mesh({"data": 4, "model": 2})
+        model = tiny_model()
+        rng = np.random.default_rng(0)
+        kwargs = dict(
+            x=jnp.asarray(rng.normal(size=(4, 32, 32, 1)).astype(np.float32)),
+            t=jnp.full((4,), 0.5),
+            y=jnp.array([1, 2, 3, 4]),
+            cond_img=jnp.asarray(rng.normal(size=(4, 32, 32, 1)).astype(np.float32)),
+            lsm_cond=jnp.zeros((4, 32, 32, 2)),
+            topo_cond=jnp.zeros((4, 32, 32, 2)),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs, train=False)
+        ref = model.apply(variables, **kwargs, train=False)
+
+        sharded = dict(variables)
+        sharded["params"] = shard_params(variables["params"], mesh2d)
+        frac = sharded_param_fraction(variables["params"], mesh2d)
+        # tiny test model (64-ch) has few >=128-out kernels; the flagship
+        # 512-ch model shards the majority of its bytes
+        assert frac > 0.03
+
+        out = jax.jit(lambda v: model.apply(v, **kwargs, train=False))(sharded)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_nondivisible_leaves_fall_back(self, devices):
+        from jax.sharding import PartitionSpec as P
+
+        from sbgm_danra_tpu.parallel.mesh import make_mesh
+        from sbgm_danra_tpu.parallel.tp import shard_params
+
+        mesh2d = make_mesh({"data": 1, "model": 8})
+        params = {"layer": {"kernel": jnp.zeros((3, 3, 4, 132))}}  # 132 % 8 != 0
+        out = shard_params(params, mesh2d)
+        assert out["layer"]["kernel"].sharding.spec == P()
