@@ -82,7 +82,7 @@ def train_main(cfg: Config) -> TrainingPipeline:
     # per-run frozen config dump (the trial-YAML pattern, run_optuna.py:190-192)
     cfg.dump(os.path.join(cfg.paths.sample_dir, f"config_{get_model_string(cfg)}.yaml"))
 
-    train_loader, valid_loader, _ = make_loaders(cfg)
+    train_loader, valid_loader, gen_loader = make_loaders(cfg)
 
     # loader throughput probe (reference training_main.py:58-63)
     if cfg.training.verbose:
@@ -99,7 +99,8 @@ def train_main(cfg: Config) -> TrainingPipeline:
     back_transforms = _back_transforms(cfg)
     mesh = _maybe_mesh(cfg)
     pipeline = TrainingPipeline(
-        cfg, train_loader, valid_loader, back_transforms=back_transforms, mesh=mesh
+        cfg, train_loader, valid_loader, back_transforms=back_transforms, mesh=mesh,
+        gen_loader=gen_loader if cfg.visualization.preview_every else None,
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(pipeline.state.params))
     logger.info("model %s: %s params", pipeline.model_string, f"{n_params:,}")

@@ -181,6 +181,9 @@ class VisualizationConfig:
     show_both_orig_scaled: bool = False
     show_geo: bool = True
     show_ocean: bool = True
+    # per-epoch preview sampling cadence: 0 = off, N = every N epochs
+    # (the reference previews every epoch, training.py:611-786)
+    preview_every: int = 0
 
 
 @dataclass

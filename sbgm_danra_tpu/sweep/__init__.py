@@ -1,6 +1,7 @@
 """Hyperparameter sweeps: samplers, pruners, sqlite-backed studies."""
 
 from sbgm_danra_tpu.sweep.study import (
+    GPSampler,
     HaltonSampler,
     RandomSampler,
     Study,
@@ -11,6 +12,7 @@ from sbgm_danra_tpu.sweep.study import (
 
 __all__ = [
     "Study",
+    "GPSampler",
     "Trial",
     "TrialPruned",
     "RandomSampler",

@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional
 
 from sbgm_danra_tpu.config import Config, deep_update, from_dict, load_config
 from sbgm_danra_tpu.sweep.study import (
+    GPSampler,
     HaltonSampler,
     Study,
     SuccessiveHalvingPruner,
@@ -137,9 +138,11 @@ def run_sweep(
 
     with open(config_path) as f:
         base = resolve_env(yaml.safe_load(f))
+    # GP expected-improvement after a Halton startup phase — the reference's
+    # GPSampler choice (run_optuna.py:278-286)
     study = Study(
         storage_path,
-        sampler=HaltonSampler(seed=seed),
+        sampler=GPSampler(seed=seed),
         pruner=SuccessiveHalvingPruner(min_resource=1, reduction_factor=4),
         load_if_exists=True,
     )

@@ -33,6 +33,7 @@ CREATE TABLE IF NOT EXISTS trials (
     value REAL,
     params TEXT NOT NULL DEFAULT '{}',
     intermediate TEXT NOT NULL DEFAULT '[]',
+    units TEXT NOT NULL DEFAULT '[]',
     created REAL,
     finished REAL
 );
@@ -56,13 +57,16 @@ class RandomSampler:
     def __init__(self, seed: int = 0):
         import numpy as np
 
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
+        self.last_unit: float = 0.0  # unit coord of the most recent suggestion
 
     def _unit(self, trial_id: int, dim: int) -> float:
         return float(self._rng.random())
 
     def suggest_float(self, trial_id, dim, low, high, log=False) -> float:
         u = self._unit(trial_id, dim)
+        self.last_unit = u
         if log:
             return math.exp(math.log(low) + u * (math.log(high) - math.log(low)))
         return low + u * (high - low)
@@ -71,7 +75,9 @@ class RandomSampler:
         return min(int(self.suggest_float(trial_id, dim, low, high + 1)), high)
 
     def suggest_categorical(self, trial_id, dim, choices: Sequence) -> Any:
-        return choices[min(int(self._unit(trial_id, dim) * len(choices)), len(choices) - 1)]
+        u = self._unit(trial_id, dim)
+        self.last_unit = u
+        return choices[min(int(u * len(choices)), len(choices) - 1)]
 
 
 _PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
@@ -101,6 +107,73 @@ class HaltonSampler(RandomSampler):
         base = _PRIMES[dim % len(_PRIMES)]
         u = _halton(trial_id + 1, base) + float(self._shift[dim % len(_PRIMES)])
         return u % 1.0
+
+
+class GPSampler(HaltonSampler):
+    """Gaussian-process expected-improvement sampler (the reference uses
+    Optuna's GPSampler, run_optuna.py:278-286).
+
+    Completed trials' unit-cube coordinates and values fit an RBF-kernel GP;
+    each new trial maximizes expected improvement over random candidates.
+    Falls back to scrambled Halton until ``n_startup`` trials have completed
+    (and for any dimensions beyond those seen in the history).
+    """
+
+    def __init__(self, seed: int = 0, n_startup: int = 8, n_candidates: int = 512,
+                 length_scale: float = 0.25, noise: float = 1e-4, xi: float = 0.01):
+        super().__init__(seed)
+        self.n_startup = n_startup
+        self.n_candidates = n_candidates
+        self.length_scale = length_scale
+        self.noise = noise
+        self.xi = xi
+        self._proposal: Optional[List[float]] = None
+
+    def begin_trial(self, trial_id: int, history: List[tuple]) -> None:
+        """history: [(unit_vector, value), ...] of completed trials."""
+        import numpy as np
+
+        self._proposal = None
+        usable = [(u, v) for u, v in history if u and v is not None]
+        if len(usable) < self.n_startup:
+            return
+        dims = min(len(u) for u, _ in usable)
+        x = np.asarray([u[:dims] for u, _ in usable], dtype=np.float64)
+        y = np.asarray([v for _, v in usable], dtype=np.float64)
+        y_mean, y_std = y.mean(), max(y.std(), 1e-12)
+        yn = (y - y_mean) / y_std
+
+        def rbf(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return np.exp(-0.5 * d2 / self.length_scale**2)
+
+        k = rbf(x, x) + self.noise * np.eye(len(x))
+        try:
+            chol = np.linalg.cholesky(k)
+        except np.linalg.LinAlgError:
+            return
+        alpha = np.linalg.solve(chol.T, np.linalg.solve(chol, yn))
+        rng = np.random.default_rng((self._seed, trial_id))
+        cand = rng.random((self.n_candidates, dims))
+        ks = rbf(cand, x)
+        mu = ks @ alpha
+        vsolve = np.linalg.solve(chol, ks.T)
+        var = np.maximum(1.0 - (vsolve**2).sum(0), 1e-12)
+        sd = np.sqrt(var)
+        best = yn.min()
+        z = (best - mu - self.xi) / sd
+        # Phi and phi of the standard normal
+        from math import erf, pi
+
+        phi = np.exp(-0.5 * z**2) / np.sqrt(2 * pi)
+        cdf = 0.5 * (1.0 + np.vectorize(erf)(z / np.sqrt(2.0)))
+        ei = (best - mu - self.xi) * cdf + sd * phi
+        self._proposal = [float(c) for c in cand[int(np.argmax(ei))]]
+
+    def _unit(self, trial_id: int, dim: int) -> float:
+        if self._proposal is not None and dim < len(self._proposal):
+            return self._proposal[dim]
+        return super()._unit(trial_id, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +227,7 @@ class Trial:
         self.params: Dict[str, Any] = {}
         self._dim = 0
         self._history: List[tuple] = []
+        self._units: List[float] = []
 
     def _next_dim(self) -> int:
         d = self._dim
@@ -162,16 +236,19 @@ class Trial:
 
     def suggest_float(self, name, low, high, log=False) -> float:
         v = self.study.sampler.suggest_float(self.trial_id, self._next_dim(), low, high, log)
+        self._units.append(self.study.sampler.last_unit)
         self.params[name] = v
         return v
 
     def suggest_int(self, name, low, high) -> int:
         v = self.study.sampler.suggest_int(self.trial_id, self._next_dim(), low, high)
+        self._units.append(self.study.sampler.last_unit)
         self.params[name] = v
         return v
 
     def suggest_categorical(self, name, choices) -> Any:
         v = self.study.sampler.suggest_categorical(self.trial_id, self._next_dim(), list(choices))
+        self._units.append(self.study.sampler.last_unit)
         self.params[name] = v
         return v
 
@@ -231,12 +308,24 @@ class Study:
                 (json.dumps(history), json.dumps(params), trial_id + 1),
             )
 
-    def _finish(self, trial_id: int, state: str, value: Optional[float], params) -> None:
+    def _finish(
+        self, trial_id: int, state: str, value: Optional[float], params,
+        units: Optional[List[float]] = None,
+    ) -> None:
         with self._conn() as con:
             con.execute(
-                "UPDATE trials SET state=?, value=?, params=?, finished=? WHERE trial_id=?",
-                (state, value, json.dumps(params), time.time(), trial_id + 1),
+                "UPDATE trials SET state=?, value=?, params=?, units=?, finished=? "
+                "WHERE trial_id=?",
+                (state, value, json.dumps(params), json.dumps(units or []),
+                 time.time(), trial_id + 1),
             )
+
+    def _completed_units(self) -> List[tuple]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT units, value FROM trials WHERE state='complete'"
+            ).fetchall()
+        return [(json.loads(r[0]), r[1]) for r in rows]
 
     def _peer_histories(self, exclude: int) -> List[List[tuple]]:
         with self._conn() as con:
@@ -250,14 +339,18 @@ class Study:
     def optimize(self, objective: Callable[[Trial], float], n_trials: int) -> None:
         for _ in range(n_trials):
             trial = self._create_trial()
+            if hasattr(self.sampler, "begin_trial"):
+                self.sampler.begin_trial(trial.trial_id, self._completed_units())
             try:
                 value = objective(trial)
-                self._finish(trial.trial_id, "complete", float(value), trial.params)
+                self._finish(
+                    trial.trial_id, "complete", float(value), trial.params, trial._units
+                )
             except TrialPruned:
                 last = trial._history[-1][1] if trial._history else None
-                self._finish(trial.trial_id, "pruned", last, trial.params)
+                self._finish(trial.trial_id, "pruned", last, trial.params, trial._units)
             except Exception:
-                self._finish(trial.trial_id, "failed", None, trial.params)
+                self._finish(trial.trial_id, "failed", None, trial.params, trial._units)
                 raise
 
     @property

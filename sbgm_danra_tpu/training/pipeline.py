@@ -72,6 +72,7 @@ class TrainingPipeline:
         valid_loader: Optional[DataLoader] = None,
         back_transforms: Optional[Dict] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        gen_loader: Optional[DataLoader] = None,
     ):
         self.cfg = cfg
         self.train_loader = train_loader
@@ -131,6 +132,7 @@ class TrainingPipeline:
         self.checkpoints = CheckpointManager(ckpt_dir)
         self.history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [], "lr": []}
         self.epoch = 0
+        self.gen_loader = gen_loader
 
     # -- epoch internals ------------------------------------------------------
 
@@ -257,6 +259,9 @@ class TrainingPipeline:
 
             new_lr = self.scheduler.step(monitored)
             self.state = self.state.with_learning_rate(new_lr)
+            every = cfg.visualization.preview_every
+            if every and self.epoch % every == 0:
+                self.generate_previews()
             if on_epoch_end is not None:
                 on_epoch_end(self, self.epoch, train_loss, val_loss)
             if self.early_stopping is not None and self.early_stopping.update(monitored):
@@ -274,8 +279,65 @@ class TrainingPipeline:
         with open(path, "w") as f:
             json.dump(self.history, f)
 
-    # -- sampling hook -----------------------------------------------------------
+    # -- sampling hooks ----------------------------------------------------------
 
     def score_fn(self, use_ema: Optional[bool] = None):
         use_ema = self.cfg.training.with_ema if use_ema is None else use_ema
         return make_score_fn(self.model, self.state, use_ema=use_ema)
+
+    def generate_previews(self, n_steps: Optional[int] = None) -> Optional[np.ndarray]:
+        """Per-epoch preview sampling (reference generate_and_plot_samples,
+        training.py:611-786): sample a small gen batch with the configured
+        sampler and current (EMA) weights, clamp extreme precip, save a figure.
+
+        Unlike the reference (which reloads the best checkpoint from disk each
+        epoch), this samples the live EMA state — no IO round-trip.
+        """
+        if self.gen_loader is None:
+            return None
+        from sbgm_danra_tpu.sampling.samplers import SamplerConfig, get_sampler
+        from sbgm_danra_tpu.utils.sentinels import clamp_extremes, report_precip_extremes
+
+        cfg = self.cfg
+        batch = extract_batch(next(iter(self.gen_loader)), cfg.highres.variable)
+        cond = {
+            k: jnp.asarray(batch[k])
+            for k in ("y", "cond_img", "lsm_cond", "topo_cond")
+            if batch.get(k) is not None
+        }
+        n = batch["x"].shape[0]
+        h, w = batch["x"].shape[1:3]
+        g = cfg.classifier_free_guidance
+        sampler_cfg = SamplerConfig(
+            num_steps=n_steps or min(cfg.sampler.n_timesteps, 200),
+            snr=cfg.sampler.snr,
+            eps=cfg.sampler.t_eps,
+            guidance_scale=g.guidance_scale if g.enabled else None,
+            guidance_scale_max=g.guidance_scale_max,
+        )
+        sampler = get_sampler(cfg.sampler.sampler_type)
+        self.rng, key = jax.random.split(self.rng)
+        generated = np.asarray(
+            sampler(self.score_fn(), key, (n, h, w, 1), self.sde, sampler_cfg, cond=cond)
+        )[..., 0]
+        if cfg.highres.variable == "prcp" and "generated" in self.back_transforms:
+            gen_bt = np.asarray(self.back_transforms["generated"](generated))
+            report_precip_extremes(gen_bt, f"epoch{self.epoch}-preview", cfg.training.extreme_cap)
+            generated = np.asarray(clamp_extremes(generated, generated.max()))
+        if cfg.visualization.save_figs:
+            try:
+                from sbgm_danra_tpu.utils.plotting import plot_samples_and_generated
+
+                fig = plot_samples_and_generated(batch, generated, cfg)
+                out = os.path.join(
+                    cfg.paths.sample_dir,
+                    f"preview_{self.model_string}_epoch{self.epoch}.png",
+                )
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                fig.savefig(out, dpi=120)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+            except Exception as e:  # previews must never kill training
+                logger.warning("preview plotting failed: %s", e)
+        return generated

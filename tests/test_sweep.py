@@ -136,3 +136,36 @@ class TestSweepRunner:
         with open(os.path.join(gen_dir, sorted(os.listdir(gen_dir))[0])) as f:
             dumped = yaml.safe_load(f)
         assert "training" in dumped and "sampler" in dumped
+
+
+class TestGPSampler:
+    def test_converges_on_quadratic(self, tmp_path):
+        from sbgm_danra_tpu.sweep.study import GPSampler
+
+        study = Study(
+            str(tmp_path / "gp.db"),
+            sampler=GPSampler(seed=0, n_startup=6, n_candidates=256),
+        )
+
+        def objective(trial):
+            x = trial.suggest_float("x", -2.0, 2.0)
+            y = trial.suggest_float("y", -2.0, 2.0)
+            return (x - 0.7) ** 2 + (y + 0.3) ** 2
+
+        study.optimize(objective, n_trials=30)
+        best = study.best_trial
+        assert best["value"] < 0.05
+        # post-startup GP trials should outperform the startup phase on average
+        trials = study.trials
+        startup = [t["value"] for t in trials[:6]]
+        gp_phase = [t["value"] for t in trials[6:]]
+        assert min(gp_phase) <= min(startup)
+
+    def test_units_persisted(self, tmp_path):
+        from sbgm_danra_tpu.sweep.study import GPSampler
+
+        study = Study(str(tmp_path / "u.db"), sampler=GPSampler(seed=0))
+        study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=2)
+        units = study._completed_units()
+        assert len(units) == 2
+        assert all(len(u) == 1 and 0 <= u[0] <= 1 for u, _ in units)
