@@ -65,6 +65,13 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
         x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
     )
     variables = model.init({"params": jax.random.PRNGKey(0)}, **init_kwargs, train=False)
+    # Sampling is inference: carry bf16 weights so every one of the ~4000 UNet
+    # forwards streams half the parameter bytes from HBM. Norm params stay
+    # fp32 (layers accumulate in fp32 regardless).
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
+        variables,
+    )
 
     def score_fn(x, t, **kw):
         return model.apply(variables, x, t, **kw, train=False)

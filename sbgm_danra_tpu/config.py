@@ -265,6 +265,20 @@ class EvaluationConfig:
 
 
 @dataclass
+class SplitsConfig:
+    """Split creation (reference data_analysis_pipeline/configs/split_config.yaml)."""
+
+    method: str = "Time"  # Time | Random
+    # year ranges per split, inclusive (reference: 1990-2016/2016-2019/2019-2022)
+    train_years: Tuple[int, int] = (1990, 2015)
+    valid_years: Tuple[int, int] = (2016, 2018)
+    test_years: Tuple[int, int] = (2019, 2022)
+    # Random-method fractions
+    fractions: Optional[Dict[str, float]] = None
+    seed: int = 0
+
+
+@dataclass
 class ParallelConfig:
     """Device-mesh layout; absent from the reference (single-device only)."""
 
@@ -292,6 +306,7 @@ class Config:
     classifier_free_guidance: CFGuidanceConfig = field(default_factory=CFGuidanceConfig)
     evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    splits: SplitsConfig = field(default_factory=SplitsConfig)
 
     # -- derived quantities ------------------------------------------------
 

@@ -143,9 +143,19 @@ def create_splits_from_config(cfg: Config, spec: Optional[SplitSpec] = None):
         cfg.highres.model: [cfg.highres.variable],
         cfg.lowres.model: list(cfg.lowres.condition_variables or ()),
     }
-    # Default spec: Random split sized to whatever dates exist (synthetic-data
-    # friendly); production configs pass year ranges.
-    spec = spec or SplitSpec(method="Random")
+    if spec is None:
+        s = cfg.splits
+        if s.method == "Time":
+            spec = SplitSpec(
+                method="Time",
+                year_ranges={
+                    "train": tuple(s.train_years),
+                    "valid": tuple(s.valid_years),
+                    "test": tuple(s.test_years),
+                },
+            )
+        else:
+            spec = SplitSpec(method="Random", fractions=s.fractions, seed=s.seed)
     return create_data_splits(
         cfg.paths.data_dir, variables, tuple(cfg.highres.full_domain_dims), spec
     )

@@ -81,7 +81,7 @@ def em_sampler(
     dt = (1.0 - config.eps) / (config.num_steps - 1)
 
     def step(carry, t):
-        x, key = carry
+        x, _, key = carry
         key, zkey = jax.random.split(key)
         bt = jnp.full((b,), t, jnp.float32)
         g = sde.diffusion_coeff(bt)
@@ -91,10 +91,12 @@ def em_sampler(
         mean_x = x + (_bcast(g**2, x.ndim) * score - sde.drift(x, bt)) * dt
         z = jax.random.normal(zkey, x.shape, x.dtype)
         x_next = mean_x + jnp.sqrt(dt) * _bcast(g, x.ndim) * z
-        return (x_next, key), mean_x
+        # final mean rides the carry — stacking per-step means as scan outputs
+        # would stream num_steps full fields through HBM for nothing
+        return (x_next, mean_x, key), None
 
-    (_, _), means = jax.lax.scan(step, (x, loop_rng), time_steps)
-    return means[-1]
+    (_, mean_x, _), _ = jax.lax.scan(step, (x, x, loop_rng), time_steps)
+    return mean_x
 
 
 def pc_sampler(
@@ -119,7 +121,7 @@ def pc_sampler(
     dt = (1.0 - config.eps) / (config.num_steps - 1)
 
     def step(carry, t):
-        x, key = carry
+        x, _, key = carry
         key, ck, pk = jax.random.split(key, 3)
         bt = jnp.full((b,), t, jnp.float32)
 
@@ -144,10 +146,10 @@ def pc_sampler(
         x_next = x_mean + _bcast(jnp.sqrt(g**2 * dt), x.ndim) * jax.random.normal(
             pk, x.shape, x.dtype
         )
-        return (x_next, key), x_mean
+        return (x_next, x_mean, key), None
 
-    (_, _), means = jax.lax.scan(step, (x, loop_rng), time_steps)
-    return means[-1]
+    (_, x_mean, _), _ = jax.lax.scan(step, (x, x, loop_rng), time_steps)
+    return x_mean
 
 
 def _ode_drift(guided, sde, cond, x, t, b):

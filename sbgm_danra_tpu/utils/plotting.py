@@ -73,3 +73,61 @@ def plot_losses(history: Dict, path: Optional[str] = None):
 
 def cmap_for(var: str) -> str:
     return VARIABLE_REGISTRY.get(var, {}).get("cmap", "viridis")
+
+
+def plot_sample(
+    field: np.ndarray,
+    var: str = "temp",
+    lsm: Optional[np.ndarray] = None,
+    mask_ocean: bool = False,
+    title: Optional[str] = None,
+    path: Optional[str] = None,
+):
+    """Single field with colorbar, optional ocean masking (reference
+    plot_sample, utils.py:831)."""
+    field = np.asarray(field).squeeze()
+    if mask_ocean and lsm is not None:
+        field = np.where(np.asarray(lsm).squeeze() > 0.5, field, np.nan)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(field, cmap=cmap_for(var))
+    unit = VARIABLE_REGISTRY.get(var, {}).get("unit", "")
+    fig.colorbar(im, ax=ax, label=unit)
+    ax.set_title(title or VARIABLE_REGISTRY.get(var, {}).get("long_name", var))
+    ax.set_xticks([])
+    ax.set_yticks([])
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def plot_sample_with_boxplot(
+    field: np.ndarray,
+    var: str = "temp",
+    lsm: Optional[np.ndarray] = None,
+    mask_ocean: bool = False,
+    path: Optional[str] = None,
+):
+    """Field map + value-distribution boxplot side by side (reference
+    plot_sample_with_boxplot, utils.py:1016)."""
+    field = np.asarray(field).squeeze()
+    values = field
+    if mask_ocean and lsm is not None:
+        masked = np.where(np.asarray(lsm).squeeze() > 0.5, field, np.nan)
+        values = masked[np.isfinite(masked)]
+        field = masked
+    fig, (ax_map, ax_box) = plt.subplots(
+        1, 2, figsize=(8, 4), gridspec_kw={"width_ratios": [3, 1]}
+    )
+    im = ax_map.imshow(field, cmap=cmap_for(var))
+    fig.colorbar(im, ax=ax_map, label=VARIABLE_REGISTRY.get(var, {}).get("unit", ""))
+    ax_map.set_xticks([])
+    ax_map.set_yticks([])
+    ax_box.boxplot(np.asarray(values).ravel()[~np.isnan(np.asarray(values).ravel())])
+    ax_box.set_xticks([])
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+    return fig

@@ -172,3 +172,24 @@ class TestEvaluationArtifacts:
         ev = Evaluation(artifacts, generated_sample_type="repeated", n_samples=6)
         path = ev.plot_example_images(n_samples=2)
         assert os.path.exists(path)
+
+
+class TestPlotting:
+    def test_plot_sample_variants(self, tmp_path):
+        from sbgm_danra_tpu.utils.plotting import plot_sample, plot_sample_with_boxplot
+
+        rng = np.random.default_rng(0)
+        field = rng.normal(10, 3, size=(16, 16))
+        lsm = (rng.random((16, 16)) > 0.4).astype(float)
+        p1 = str(tmp_path / "s.png")
+        plot_sample(field, "temp", lsm=lsm, mask_ocean=True, path=p1)
+        p2 = str(tmp_path / "b.png")
+        plot_sample_with_boxplot(field, "prcp", lsm=lsm, mask_ocean=True, path=p2)
+        assert os.path.exists(p1) and os.path.exists(p2)
+
+    def test_plot_losses(self, tmp_path):
+        from sbgm_danra_tpu.utils.plotting import plot_losses
+
+        p = str(tmp_path / "l.png")
+        plot_losses({"train_loss": [3, 2, 1], "val_loss": [4, 3, 2]}, p)
+        assert os.path.exists(p)
