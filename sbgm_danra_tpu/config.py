@@ -239,6 +239,8 @@ class TrainingConfig:
     profile_dir: str = ""
     # Rematerialize the forward pass on backward (activation memory ~O(1)).
     remat: bool = False
+    # In-graph elastic recovery: skip optimizer updates with non-finite grads.
+    skip_nonfinite_updates: bool = False
 
 
 @dataclass

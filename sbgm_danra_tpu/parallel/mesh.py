@@ -25,6 +25,24 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed() -> int:
+    """Multi-host bring-up: jax.distributed.initialize() when launched under a
+    multi-host environment (SLURM/TPU pod metadata auto-detected by JAX).
+
+    Returns the process count. Call once before make_mesh on pods; single-host
+    runs detect nothing and return 1 — the same code path everywhere.
+    """
+    import os
+
+    already_multi = jax.process_count() > 1
+    wants_multi = any(
+        v in os.environ for v in ("SLURM_NTASKS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not already_multi and wants_multi:
+        jax.distributed.initialize()
+    return jax.process_count()
+
+
 def make_mesh(
     mesh_shape: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,

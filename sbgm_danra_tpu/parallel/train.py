@@ -41,6 +41,8 @@ def make_parallel_steps(
         t_eps=cfg.sampler.t_eps,
         use_sdf_weights=cfg.training.sdf_weighted_loss,
         detect_anomaly=cfg.training.detect_anomaly,
+        remat=cfg.training.remat,
+        skip_nonfinite_updates=cfg.training.skip_nonfinite_updates,
     )
     base_eval = make_eval_step(
         model,

@@ -112,6 +112,7 @@ class TrainingPipeline:
                     use_sdf_weights=cfg.training.sdf_weighted_loss,
                     detect_anomaly=cfg.training.detect_anomaly,
                     remat=cfg.training.remat,
+                    skip_nonfinite_updates=cfg.training.skip_nonfinite_updates,
                 )
             )
             self._eval_step = jax.jit(

@@ -36,6 +36,7 @@ def make_train_step(
     detect_anomaly: bool = False,
     pmean_axis: Optional[str] = None,
     remat: bool = False,
+    skip_nonfinite_updates: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jittable train step.
 
@@ -44,6 +45,8 @@ def make_train_step(
     ``remat``: rematerialize the forward pass on backward (jax.checkpoint) —
     trades ~1.3x FLOPs for O(1) activation memory, enabling full-domain
     640x832 training batches that would otherwise exceed HBM.
+    ``skip_nonfinite_updates``: in-graph elastic recovery — non-finite
+    loss/grads leave the state untouched instead of poisoning it.
     """
 
     def loss_fn(params, state: TrainState, batch: Batch, rng: Array):
@@ -94,12 +97,21 @@ def make_train_step(
             loss = jax.lax.pmean(loss, pmean_axis)
             new_bn = jax.lax.pmean(new_bn, pmean_axis)
         metrics = {"loss": loss}
-        if detect_anomaly:
+        finite = None
+        if detect_anomaly or skip_nonfinite_updates:
             finite = jnp.isfinite(loss)
             for g in jax.tree.leaves(grads):
                 finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
             metrics["finite"] = finite
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bn)
+        if skip_nonfinite_updates:
+            # elastic recovery: a poisoned batch costs one step, not the run —
+            # keep the previous state (including step counter) when any
+            # gradient is non-finite. The reference has no equivalent
+            # (SURVEY.md §5.3: "a crash loses the epoch").
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_state, state
+            )
         return new_state, metrics
 
     return train_step

@@ -269,3 +269,22 @@ class TestPipeline:
         spec = model_spec_from_config(cfg)
         assert spec.in_channels == 1 + 4  # 1 LR + 2*2 geo
         assert spec.num_classes == 4
+
+
+class TestElasticRecovery:
+    def test_nonfinite_update_skipped(self, tiny_state, tiny_batch):
+        cfg, model, state = tiny_state
+        step = jax.jit(
+            make_train_step(model, VESDE(), skip_nonfinite_updates=True)
+        )
+        bad = dict(tiny_batch)
+        bad["x"] = tiny_batch["x"].at[0, 0, 0, 0].set(jnp.nan)
+        new_state, m = step(state, bad, jax.random.PRNGKey(0))
+        assert not bool(m["finite"])
+        # state untouched, including the step counter
+        assert int(new_state.step) == int(state.step)
+        for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # a clean batch still updates
+        ok_state, m2 = step(state, tiny_batch, jax.random.PRNGKey(0))
+        assert bool(m2["finite"]) and int(ok_state.step) == int(state.step) + 1
