@@ -1,0 +1,208 @@
+"""Inference service: compiled conditional generation behind a small HTTP API.
+
+The reference has no serving story (generation is batch CLI only); production
+deployment needs one. This module provides:
+
+- ``InferenceEngine``: loads the best checkpoint once, pre-compiles the
+  reverse-SDE sampler for a fixed batch shape (XLA traces once; subsequent
+  requests are pure device execution), EMA weights, optional mesh sharding;
+- a stdlib ``http.server`` JSON API (zero new dependencies):
+    GET  /healthz            -> {"status": "ok", "model": ..., "platform": ...}
+    POST /generate           -> body {"conditions": {...}, "n_members": N,
+                                      "seed": S}; returns generated fields
+                                (back-transformed) as nested lists.
+
+Conditions use the model contract: cond_img [H, W, C_lr], lsm/topo [H, W, 2]
+value||mask, y class index. Requests are queued and served sequentially — the
+TPU is a single shared executor; batching across requests is the caller's job.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbgm_danra_tpu.config import Config
+from sbgm_danra_tpu.sampling.samplers import SamplerConfig, get_sampler
+from sbgm_danra_tpu.sde import VESDE
+from sbgm_danra_tpu.utils.naming import get_model_string
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceEngine:
+    """Checkpoint -> pre-compiled conditional sampler."""
+
+    def __init__(self, cfg: Config, max_members: int = 8):
+        from sbgm_danra_tpu.cli.entries import _back_transforms, _load_pipeline_for_sampling
+
+        self.cfg = cfg
+        self.max_members = max_members
+        pipeline, _ = _load_pipeline_for_sampling(cfg)
+        self.score_fn = pipeline.score_fn(use_ema=cfg.training.load_ema)
+        self.back_transforms = _back_transforms(cfg)
+        self.sde = VESDE()
+        g = cfg.classifier_free_guidance
+        self.sampler_config = SamplerConfig(
+            num_steps=cfg.evaluation.n_steps,
+            snr=cfg.sampler.snr,
+            eps=cfg.sampler.t_eps,
+            guidance_scale=g.guidance_scale if g.enabled else None,
+            guidance_scale_max=g.guidance_scale_max,
+        )
+        s = cfg.highres.data_size
+        rf = cfg.lowres.resize_factor
+        self.hw = (s[0] // rf, s[1] // rf)
+        sampler = get_sampler(cfg.sampler.sampler_type)
+        shape = (max_members, *self.hw, 1)
+
+        def run(key, cond):
+            return sampler(self.score_fn, key, shape, self.sde, self.sampler_config, cond=cond)
+
+        self._run = jax.jit(run)
+        self._lock = threading.Lock()
+        self.model_string = get_model_string(cfg)
+
+    def warmup(self) -> float:
+        """Compile the sampler ahead of the first request; returns seconds."""
+        t0 = time.time()
+        n_lr = len(self.cfg.lowres.condition_variables or ())
+        cond = {
+            "y": jnp.zeros((self.max_members,), jnp.int32),
+            "cond_img": jnp.zeros((self.max_members, *self.hw, n_lr)),
+            "lsm_cond": jnp.zeros((self.max_members, *self.hw, 2)),
+            "topo_cond": jnp.zeros((self.max_members, *self.hw, 2)),
+        }
+        jax.block_until_ready(self._run(jax.random.PRNGKey(0), cond))
+        return time.time() - t0
+
+    def generate(
+        self, conditions: Dict[str, np.ndarray], n_members: int = 1, seed: int = 0
+    ) -> np.ndarray:
+        """Generate n_members fields for ONE condition dict; back-transformed."""
+        if n_members > self.max_members:
+            raise ValueError(
+                f"n_members {n_members} exceeds engine capacity {self.max_members}"
+            )
+        m = self.max_members
+        cond = {}
+        for key in ("y", "cond_img", "lsm_cond", "topo_cond"):
+            v = conditions.get(key)
+            if v is None:
+                continue
+            v = jnp.asarray(v)
+            if key != "y" and v.ndim == 3:
+                v = v[None]
+            if key == "y" and v.ndim == 0:
+                v = v[None]
+            reps = (m,) + (1,) * (v.ndim - 1)
+            cond[key] = jnp.tile(v[:1], reps)
+        if "y" in cond:
+            cond["y"] = cond["y"].astype(jnp.int32)
+        with self._lock:  # one device, one program at a time
+            out = np.asarray(self._run(jax.random.PRNGKey(seed), cond))[..., 0]
+        out = out[:n_members]
+        bt = self.back_transforms.get("generated")
+        return np.asarray(bt(out)) if bt is not None else out
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": engine.model_string,
+                        "platform": jax.default_backend(),
+                        "max_members": engine.max_members,
+                        "sample_hw": list(engine.hw),
+                    },
+                )
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                conditions = {
+                    k: np.asarray(v, np.float32)
+                    for k, v in (req.get("conditions") or {}).items()
+                    if k in ("cond_img", "lsm_cond", "topo_cond")
+                }
+                if "y" in (req.get("conditions") or {}):
+                    conditions["y"] = np.asarray(req["conditions"]["y"], np.int32)
+                t0 = time.time()
+                out = engine.generate(
+                    conditions,
+                    n_members=int(req.get("n_members", 1)),
+                    seed=int(req.get("seed", 0)),
+                )
+                self._reply(
+                    200,
+                    {
+                        "generated": out.tolist(),
+                        "shape": list(out.shape),
+                        "latency_s": round(time.time() - t0, 3),
+                    },
+                )
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("generation failed")
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+    return Handler
+
+
+def serve(cfg: Config, host: str = "127.0.0.1", port: int = 8901, max_members: int = 8):
+    engine = InferenceEngine(cfg, max_members=max_members)
+    dt = engine.warmup()
+    logger.info("sampler compiled in %.1fs; serving on %s:%d", dt, host, port)
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    server.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from sbgm_danra_tpu.config import load_config, parse_override
+
+    p = argparse.ArgumentParser(description="SBGM inference server")
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8901)
+    p.add_argument("--max_members", type=int, default=8)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config(args.config_path, dict(parse_override(s) for s in args.overrides))
+    serve(cfg, args.host, args.port, args.max_members)
+
+
+if __name__ == "__main__":
+    main()

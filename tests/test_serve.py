@@ -1,0 +1,117 @@
+"""Inference service: engine generation + live HTTP round-trip."""
+
+import json
+import os
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+from sbgm_danra_tpu.serve import InferenceEngine, make_handler
+
+from tests.test_training import tiny_config
+
+
+@pytest.fixture(scope="module")
+def trained_env(tmp_path_factory):
+    """A tiny trained checkpoint to serve."""
+    root = str(tmp_path_factory.mktemp("serve_env"))
+    generate(SyntheticSpec(root=root, full_domain=(48, 64), n_days=12,
+                           crop_region=(8, 40, 16, 56)))
+    cfg = tiny_config(root)
+    cfg.sampler.n_timesteps = 6
+    cfg.evaluation.n_steps = 6
+    from sbgm_danra_tpu.data.factory import make_loaders
+    from sbgm_danra_tpu.training.pipeline import TrainingPipeline
+
+    train_loader, valid_loader, _ = make_loaders(cfg)
+    pipe = TrainingPipeline(cfg, train_loader, valid_loader)
+    pipe.train(epochs=1, steps_per_epoch=2)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def engine(trained_env):
+    eng = InferenceEngine(trained_env, max_members=4)
+    eng.warmup()
+    return eng
+
+
+def _conditions(hw=(32, 32)):
+    rng = np.random.default_rng(0)
+    return {
+        "y": np.int32(2),
+        "cond_img": rng.normal(size=(*hw, 1)).astype(np.float32),
+        "lsm_cond": np.ones((*hw, 2), np.float32),
+        "topo_cond": np.zeros((*hw, 2), np.float32),
+    }
+
+
+class TestInferenceEngine:
+    def test_generate_members(self, engine):
+        out = engine.generate(_conditions(), n_members=3, seed=1)
+        assert out.shape == (3, 32, 32)
+        assert np.isfinite(out).all()
+        # distinct members
+        assert np.std(out.mean(axis=(1, 2))) > 0
+
+    def test_seed_determinism(self, engine):
+        a = engine.generate(_conditions(), n_members=2, seed=5)
+        b = engine.generate(_conditions(), n_members=2, seed=5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_capacity_guard(self, engine):
+        with pytest.raises(ValueError):
+            engine.generate(_conditions(), n_members=99)
+
+
+class TestHTTPAPI:
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok"
+        assert body["sample_hw"] == [32, 32]
+
+    def test_generate_roundtrip(self, server):
+        cond = _conditions()
+        payload = {
+            "conditions": {k: np.asarray(v).tolist() for k, v in cond.items()},
+            "n_members": 2,
+            "seed": 3,
+        }
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["shape"] == [2, 32, 32]
+        arr = np.asarray(body["generated"])
+        assert np.isfinite(arr).all()
+        assert body["latency_s"] >= 0
+
+    def test_bad_request(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate", data=b'{"n_members": 999}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_unknown_path(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{server}/nope")
+        assert e.value.code == 404
