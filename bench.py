@@ -82,13 +82,27 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
         lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
     )
     # compile + warmup
-    run(jax.random.PRNGKey(0)).block_until_ready()
+    compiled = run.lower(jax.random.PRNGKey(0)).compile()
+    compiled(jax.random.PRNGKey(0)).block_until_ready()
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
-        run(jax.random.PRNGKey(i)).block_until_ready()
+        compiled(jax.random.PRNGKey(i)).block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
-    return steps / dt
+    # XLA's own FLOP count -> MXU utilization estimate
+    flops_per_call = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    util = None
+    if flops_per_call:
+        tflops = flops_per_call / dt / 1e12
+        util = tflops / 197.0  # v5e bf16 peak ~197 TFLOP/s
+    return steps / dt, util
 
 
 def bench_train(batch: int = 16, size: int = 128, iters: int = 10):
@@ -122,7 +136,7 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10):
 def main():
     platform = jax.default_backend()
     device = str(jax.devices()[0])
-    steps_per_sec = bench_sampler()
+    steps_per_sec, mxu_util = bench_sampler()
     train_samples_per_sec = bench_train()
     # north-star projection: 100-member ensemble on v5e-8 = 13 members/chip,
     # 1000 PC+CFG steps at the measured per-chip rate.
@@ -138,6 +152,9 @@ def main():
                 "baseline_definition": "60s / projected 100-member-ensemble time on 8 chips (>1 beats target)",
                 "projected_100member_ensemble_s_v5e8": round(projected_ensemble_s, 1),
                 "train_samples_per_sec_per_chip_128px": round(train_samples_per_sec, 2),
+                "sampler_mxu_utilization_vs_v5e_peak": round(mxu_util, 3)
+                if mxu_util
+                else None,
                 "platform": platform,
                 "device": device,
             }

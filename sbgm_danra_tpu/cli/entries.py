@@ -179,6 +179,12 @@ def evaluation_main(cfg: Config) -> None:
                 )
             elif method == "spatial_stats":
                 ev.spatial_statistics()
+            elif method == "power_spectrum":
+                sp = ev.power_spectrum_comparison()
+                logger.info(
+                    "%s spectrum: logMSE %.4f (ratio at finest resolved scale %.3f)",
+                    gen_type, sp["log_mse"], sp["ratio"][-2],
+                )
             elif method == "crps" and gen_type == "repeated":
                 scores = ev.ensemble_crps()
                 logger.info("ensemble CRPS %.4f rmse %.4f spread %.4f",

@@ -129,6 +129,20 @@ class Evaluation:
             "spread": spread,
         }
 
+    def power_spectrum_comparison(self, dx_km: float = 2.5) -> Dict[str, object]:
+        """Radially averaged power-spectrum comparison of generated vs truth —
+        the scientifically meaningful sharpness check (does the generator carry
+        realistic variance at fine wavelengths, or is it blurry?). Uses the
+        comparison pipeline's estimator (reference compare_distributions.py)."""
+        from sbgm_danra_tpu.pipelines.comparison import compare_power_spectra
+
+        gen = [g for g in self.gen_imgs]
+        ref = self.eval_imgs
+        if ref.shape[0] == 1 and len(gen) > 1:
+            ref = np.repeat(ref, len(gen), axis=0)
+        out = compare_power_spectra(gen, [r for r in ref], dx_km).as_dict()
+        return out
+
     def plot_example_images(self, n_samples: int = 4, mask_ocean: bool = False):
         """Truth/generated side-by-side grid (reference evaluation.py:121-262)."""
         import matplotlib

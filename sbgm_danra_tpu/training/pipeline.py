@@ -139,6 +139,22 @@ class TrainingPipeline:
 
     def _batches(self, loader: DataLoader) -> Iterable[Dict]:
         raw = (extract_batch(b, self.cfg.highres.variable) for b in loader)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+
+            def divisible(batches):
+                for b in batches:
+                    if b["x"].shape[0] % n_dev:
+                        # ragged tail (valid loader keeps partial batches);
+                        # a non-divisible batch cannot shard over the mesh
+                        logger.debug(
+                            "dropping ragged batch of %d (mesh size %d)",
+                            b["x"].shape[0], n_dev,
+                        )
+                        continue
+                    yield b
+
+            raw = divisible(raw)
         yield from device_prefetch(
             raw, depth=self.cfg.data_handling.prefetch_depth, sharding=self.batch_sharding
         )

@@ -193,3 +193,28 @@ class TestPlotting:
         p = str(tmp_path / "l.png")
         plot_losses({"train_loss": [3, 2, 1], "val_loss": [4, 3, 2]}, p)
         assert os.path.exists(p)
+
+
+class TestSpectrumEvaluation:
+    def test_power_spectrum_comparison(self, tmp_path):
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.evaluate.evaluation import Evaluation
+        from sbgm_danra_tpu.utils.naming import get_model_string
+
+        cfg = from_dict({
+            "paths": {"sample_dir": str(tmp_path)},
+            "highres": {"variable": "temp"},
+            "lowres": {"condition_variables": [], "scaling_methods": []},
+        })
+        rng = np.random.default_rng(0)
+        sample_path = os.path.join(
+            str(tmp_path), "generation", get_model_string(cfg), "generated_samples"
+        )
+        os.makedirs(sample_path, exist_ok=True)
+        truth = rng.normal(size=(4, 32, 32))
+        np.savez_compressed(os.path.join(sample_path, "gen_samples_multi_n_4.npz"), truth)
+        np.savez_compressed(os.path.join(sample_path, "eval_samples_multi_n_4.npz"), truth)
+        ev = Evaluation(cfg, generated_sample_type="multiple", n_samples=4)
+        sp = ev.power_spectrum_comparison()
+        assert sp["log_mse"] == pytest.approx(0.0, abs=1e-10)  # identical fields
+        assert len(sp["wavelengths"]) == len(sp["spectrum_a"])
