@@ -44,6 +44,13 @@ def daily_stat_for(variable: str) -> str:
     return DAILY_STAT.get(variable, DEFAULT_STAT)
 
 
+def register_daily_stat(variable: str, stat: str) -> None:
+    """Register a config-declared per-variable daily statistic."""
+    if stat not in ("daymean", "daysum", "daymax", "daymin"):
+        raise ValueError(f"Unknown daily statistic: {stat}")
+    DAILY_STAT[variable] = stat
+
+
 def convert_to_daily_stat(
     src_nc: str, dst_nc: str, variable: str, runner: Runner = subprocess_runner
 ) -> str:

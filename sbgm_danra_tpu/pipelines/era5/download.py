@@ -18,16 +18,27 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 logger = logging.getLogger(__name__)
 
 # CDS names for the variables the reference pulls (era5_pipeline.yaml:1-40).
+# Both the framework's variable names (temp/prcp/...) and the reference
+# config's nc shorts (t2m/tp/wvf_north/...) resolve.
 CDS_VARIABLE_NAMES: Dict[str, str] = {
     "temp": "2m_temperature",
+    "t2m": "2m_temperature",
     "prcp": "total_precipitation",
+    "tp": "total_precipitation",
     "cape": "convective_available_potential_energy",
     "msl": "mean_sea_level_pressure",
     "pev": "potential_evaporation",
     "nwvf": "vertical_integral_of_northward_water_vapour_flux",
+    "wvf_north": "vertical_integral_of_northward_water_vapour_flux",
     "ewvf": "vertical_integral_of_eastward_water_vapour_flux",
+    "wvf_east": "vertical_integral_of_eastward_water_vapour_flux",
     "z": "geopotential",
 }
+
+
+def register_variable(short: str, cds_name: str) -> None:
+    """Register a config-declared variable so ``build_request`` resolves it."""
+    CDS_VARIABLE_NAMES[short] = cds_name
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,6 +83,67 @@ class StreamingStats:
         }
 
 
+_AGG_METHODS = {"mean": np.mean, "sum": np.sum, "max": np.max, "min": np.min}
+
+
+def aggregate_fields(
+    fields: Sequence[np.ndarray],
+    timestamps: Sequence,
+    agg_time: str,
+    agg_method: str = "mean",
+) -> Dict[str, object]:
+    """Temporal aggregation of daily fields to weekly/monthly/yearly composites.
+
+    Re-design of the reference's aggregate_data
+    (data_analysis_pipeline/stats_analysis/statistics.py:17-107): groups daily
+    fields by ISO week / month / year and reduces each group with
+    mean/sum/max/min; group timestamps are the period starts. ``daily`` is a
+    no-op stack. One vectorized reduce per group replaces the reference's
+    per-group Python list shuffling.
+    """
+    import datetime
+
+    ts = [
+        datetime.datetime.fromisoformat(t) if isinstance(t, str) else t
+        for t in timestamps
+    ]
+    if len(fields) != len(ts):
+        raise ValueError(f"{len(fields)} fields vs {len(ts)} timestamps")
+    stack = np.stack([np.asarray(f) for f in fields])
+    if agg_time == "daily":
+        return {"cutouts": stack, "stack": stack.ravel(), "timestamps": ts}
+    if agg_method not in _AGG_METHODS:
+        raise ValueError(f"Unsupported aggregation method: {agg_method}")
+
+    def group_key(t):
+        if agg_time == "weekly":
+            iso = t.isocalendar()
+            return (iso[0], iso[1])
+        if agg_time == "monthly":
+            return (t.year, t.month)
+        if agg_time == "yearly":
+            return (t.year,)
+        raise ValueError(f"Unsupported aggregation_time: {agg_time}")
+
+    groups: Dict[tuple, list] = {}
+    for idx, t in enumerate(ts):
+        groups.setdefault(group_key(t), []).append(idx)
+
+    reduce = _AGG_METHODS[agg_method]
+    out_fields, out_ts = [], []
+    for key in sorted(groups):
+        out_fields.append(reduce(stack[groups[key]], axis=0))
+        if agg_time == "weekly":
+            # start of the ISO week
+            out_ts.append(datetime.datetime.fromisocalendar(key[0], key[1], 1))
+        elif agg_time == "monthly":
+            out_ts.append(datetime.datetime(key[0], key[1], 1))
+        else:
+            out_ts.append(datetime.datetime(key[0], 1, 1))
+    agg = np.stack(out_fields)
+    return {"cutouts": agg, "stack": agg.ravel(), "timestamps": out_ts}
+
+
 def compute_global_stats(
     store_path: str,
     variable: str,

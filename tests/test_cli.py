@@ -123,3 +123,40 @@ class TestCLIFullPipeline:
         cfg = load_config(cfg_path, {"training.epochs": 7, "sampler.num_heads": 4})
         assert cfg.training.epochs == 7
         assert cfg.sampler.num_heads == 4
+
+
+class TestShippedConfigs:
+    """Every shipped run config must load into the typed tree (schema parity
+    with the reference's default/full_run/all_data/debug config family)."""
+
+    @pytest.mark.parametrize(
+        "path", ["configs/default.yaml", "configs/debug.yaml",
+                 "configs/full_run.yaml", "configs/all_data.yaml"],
+    )
+    def test_loads(self, path, monkeypatch, tmp_path):
+        for var in ("DATA_DIR", "CKPT_DIR", "SAMPLE_DIR", "STATS_DIR"):
+            monkeypatch.setenv(var, str(tmp_path))
+        cfg = load_config(path)
+        assert cfg.highres.variable == "prcp"
+        assert len(cfg.lowres.condition_variables) == len(cfg.lowres.scaling_methods)
+
+    def test_all_data_has_ten_conditions(self, monkeypatch, tmp_path):
+        for var in ("DATA_DIR", "CKPT_DIR", "SAMPLE_DIR", "STATS_DIR"):
+            monkeypatch.setenv(var, str(tmp_path))
+        cfg = load_config("configs/all_data.yaml")
+        assert len(cfg.lowres.condition_variables) == 10
+        assert "z_pl_1000" in cfg.lowres.condition_variables
+        # in_channels: n_lr + 2*n_geo = 10 + 4 (reference training_utils.py:588-595)
+        from sbgm_danra_tpu.training.pipeline import model_spec_from_config
+
+        spec = model_spec_from_config(cfg)
+        assert spec.in_channels == 14
+
+    def test_full_run_matches_reference_new_config(self, monkeypatch, tmp_path):
+        for var in ("DATA_DIR", "CKPT_DIR", "SAMPLE_DIR", "STATS_DIR"):
+            monkeypatch.setenv(var, str(tmp_path))
+        cfg = load_config("configs/full_run.yaml")
+        assert cfg.sampler.n_timesteps == 1500
+        assert cfg.classifier_free_guidance.guidance_scale == 7.0
+        assert list(cfg.evaluation.gen_type) == ["multiple", "repeated"]
+        assert cfg.splits.method == "Time"

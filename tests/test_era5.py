@@ -225,3 +225,78 @@ class TestTransfer:
 
         with pytest.raises(RuntimeError, match="not installed"):
             subprocess_runner(["definitely_not_a_real_binary_xyz", "--flag"])
+
+
+class TestPipelineConfig:
+    """era5_pipeline.yaml schema -> typed config -> CLI dry runs."""
+
+    def test_load_single_level_config(self):
+        from sbgm_danra_tpu.pipelines.era5.config import load_era5_config
+
+        cfg = load_era5_config("configs/era5_pipeline.yaml")
+        assert set(cfg.variables) == {"temp", "prcp", "pev", "cape", "nwvf", "ewvf", "msl"}
+        assert cfg.years == (1991, 2020)
+        assert len(cfg.year_list) == 30
+        assert cfg.pressure_levels == ()
+        assert cfg.variables["prcp"].daily_stat == "daysum"
+        assert cfg.variables["cape"].daily_stat == "daymax"
+        assert cfg.remote is not None and cfg.remote.target.endswith("@cluster.example.org")
+        spec = cfg.download_spec()
+        assert set(spec.variables) == set(cfg.variables)
+        assert spec.area == (60, -80, 40, 40)
+
+    def test_load_pressure_config_registers_variables(self):
+        from sbgm_danra_tpu.pipelines.era5.config import load_era5_config
+
+        cfg = load_era5_config("configs/era5_pressure_pipeline.yaml")
+        assert cfg.pressure_levels == (250, 500, 850, 1000)
+        # config-declared variables resolve in build_request
+        req = build_request("z", 2000, cfg.area, pressure_level=500)
+        assert req["variable"] == "geopotential"
+        assert req["pressure_level"] == "500"
+
+    def test_config_daily_stats_registered(self):
+        from sbgm_danra_tpu.pipelines.era5.config import load_era5_config
+
+        load_era5_config("configs/era5_pipeline.yaml")
+        assert daily_stat_for("pev") == "daysum"
+        assert daily_stat_for("msl") == "daymean"
+
+    def test_cli_dry_run(self, capsys):
+        from sbgm_danra_tpu.cli.main_era5_app import main
+
+        main(["--config_path", "configs/era5_pipeline.yaml", "--mode", "download",
+              "--dry_run"])
+        out = capsys.readouterr().out
+        assert "jobs=210" in out  # 7 variables x 30 years
+
+    def test_cli_dry_run_pressure(self, capsys):
+        from sbgm_danra_tpu.cli.main_era5_app import main
+
+        main(["--config_path", "configs/era5_pressure_pipeline.yaml", "--mode",
+              "download", "--dry_run"])
+        out = capsys.readouterr().out
+        assert "jobs=120" in out  # 1 variable x 30 years x 4 levels
+
+    def test_cli_download_with_fake_client(self, tmp_path, monkeypatch):
+        import sbgm_danra_tpu.pipelines.era5.download as dl
+        from sbgm_danra_tpu.cli.main_era5_app import main
+
+        fake = FakeClient()
+        monkeypatch.setattr(dl, "make_cds_client", lambda: fake)
+        cfg_path = tmp_path / "era5.yaml"
+        cfg_path.write_text(
+            "variables:\n  2m_temperature: {short: temp, daily_stat: daymean}\n"
+            f"years: [2000, 2001]\ntmp_dir: {tmp_path}/raw\n"
+        )
+        main(["--config_path", str(cfg_path), "--mode", "download"])
+        assert len(fake.calls) == 2
+        assert os.path.exists(tmp_path / "raw" / "era5_temp_2000.nc")
+
+    def test_cli_stream_requires_remote(self, tmp_path):
+        from sbgm_danra_tpu.cli.main_era5_app import main
+
+        cfg_path = tmp_path / "era5.yaml"
+        cfg_path.write_text("variables: {}\nyears: [2000, 2000]\n")
+        with pytest.raises(SystemExit, match="remote"):
+            main(["--config_path", str(cfg_path), "--mode", "stream"])

@@ -218,3 +218,69 @@ class TestSpectrumEvaluation:
         sp = ev.power_spectrum_comparison()
         assert sp["log_mse"] == pytest.approx(0.0, abs=1e-10)  # identical fields
         assert len(sp["wavelengths"]) == len(sp["spectrum_a"])
+
+
+class TestAggregation:
+    """Temporal aggregation parity (reference statistics.py:17-107)."""
+
+    def _daily(self, n=40, h=3, w=4, start="2000-01-01"):
+        import datetime
+
+        t0 = datetime.datetime.fromisoformat(start)
+        ts = [t0 + datetime.timedelta(days=i) for i in range(n)]
+        rng = np.random.default_rng(0)
+        fields = [rng.normal(size=(h, w)) for _ in range(n)]
+        return fields, ts
+
+    def test_daily_is_noop_stack(self):
+        from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+
+        fields, ts = self._daily(5)
+        out = aggregate_fields(fields, ts, "daily")
+        assert out["cutouts"].shape == (5, 3, 4)
+        np.testing.assert_array_equal(out["cutouts"], np.stack(fields))
+
+    def test_monthly_mean(self):
+        from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+
+        fields, ts = self._daily(62)  # jan + feb 2000 (leap: 31+29) + 2 march days
+        out = aggregate_fields(fields, ts, "monthly", "mean")
+        assert out["cutouts"].shape[0] == 3
+        np.testing.assert_allclose(
+            out["cutouts"][0], np.mean(np.stack(fields[:31]), axis=0)
+        )
+        assert out["timestamps"][0].day == 1 and out["timestamps"][0].month == 1
+
+    def test_yearly_sum_and_max(self):
+        import datetime
+
+        from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+
+        fields, ts = self._daily(10, start="2000-12-28")  # straddles the year
+        for method, reduce in (("sum", np.sum), ("max", np.max)):
+            out = aggregate_fields(fields, ts, "yearly", method)
+            assert out["cutouts"].shape[0] == 2
+            np.testing.assert_allclose(
+                out["cutouts"][0], reduce(np.stack(fields[:4]), axis=0)
+            )
+            assert out["timestamps"][1] == datetime.datetime(2001, 1, 1)
+
+    def test_weekly_iso_grouping(self):
+        from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+
+        # 2000-01-03 is a Monday: 14 days = exactly 2 ISO weeks
+        fields, ts = self._daily(14, start="2000-01-03")
+        out = aggregate_fields(fields, ts, "weekly", "min")
+        assert out["cutouts"].shape[0] == 2
+        np.testing.assert_allclose(
+            out["cutouts"][1], np.min(np.stack(fields[7:]), axis=0)
+        )
+
+    def test_rejects_unknown(self):
+        from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+
+        fields, ts = self._daily(3)
+        with pytest.raises(ValueError, match="aggregation_time"):
+            aggregate_fields(fields, ts, "hourly")
+        with pytest.raises(ValueError, match="method"):
+            aggregate_fields(fields, ts, "monthly", "median")
