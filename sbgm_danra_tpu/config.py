@@ -108,7 +108,7 @@ class LowresConfig:
 
 @dataclass
 class SamplerConfig:
-    sampler_type: str = "pc_sampler"  # pc_sampler | em_sampler | ode_sampler
+    sampler_type: str = "pc_sampler"  # pc_sampler | em_sampler | ode_sampler | edm_sampler
     n_timesteps: int = 1000
     time_embedding: int = 256
     last_fmap_channels: int = 512
@@ -116,6 +116,9 @@ class SamplerConfig:
     block_layers: Tuple[int, ...] = (2, 2, 2, 2)
     snr: float = 0.16  # corrector signal-to-noise (reference score_sampling.py:132)
     t_eps: float = 1e-3
+    # EDM (Karras) sampler knobs; n_timesteps doubles as the node count
+    edm_rho: float = 7.0
+    s_churn: float = 0.0
 
 
 @dataclass

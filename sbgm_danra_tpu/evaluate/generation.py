@@ -66,6 +66,8 @@ class SampleGenerator:
             eps=cfg.sampler.t_eps,
             guidance_scale=g.guidance_scale if g.enabled else None,
             guidance_scale_max=g.guidance_scale_max,
+            edm_rho=cfg.sampler.edm_rho,
+            s_churn=cfg.sampler.s_churn,
         )
         self.sampler_name = cfg.sampler.sampler_type
         self.rng = jax.random.PRNGKey(cfg.evaluation.seed)

@@ -45,9 +45,16 @@ def conv1x1(features: int, stride: int = 1, name: Optional[str] = None, dtype=jn
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d with torch-default hyperparameters (momentum 0.1, eps 1e-5)."""
+    """BatchNorm2d with torch-default hyperparameters (momentum 0.1, eps 1e-5).
+
+    ``dtype`` is the RESULT dtype only: flax computes the batch statistics in
+    float32 regardless, and params/running stats stay float32. Returning the
+    compute dtype keeps bf16 activations bf16 between convs — an fp32 norm
+    output would double the HBM bytes of every inter-layer tensor.
+    """
 
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -55,7 +62,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=0.9,  # flax momentum = 1 - torch momentum (0.1)
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             axis_name=self.axis_name if train else None,
         )(x)
 
@@ -76,13 +83,13 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         identity = x
         out = conv3x3(self.features, self.stride, name="conv1", dtype=self.dtype)(x)
-        out = BatchNorm(self.bn_axis_name, name="bn1")(out, train)
+        out = BatchNorm(self.bn_axis_name, self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = conv3x3(self.features, 1, name="conv2", dtype=self.dtype)(out)
-        out = BatchNorm(self.bn_axis_name, name="bn2")(out, train)
+        out = BatchNorm(self.bn_axis_name, self.dtype, name="bn2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = conv1x1(self.features, self.stride, name="down_conv", dtype=self.dtype)(x)
-            identity = BatchNorm(self.bn_axis_name, name="down_bn")(identity, train)
+            identity = BatchNorm(self.bn_axis_name, self.dtype, name="down_bn")(identity, train)
         return nn.relu(out + identity)
 
 

@@ -141,7 +141,7 @@ class Encoder(nn.Module):
         fmaps.append(h)
 
         h = stride2_conv8(chans[1], "conv2")(h)
-        h = BatchNorm(self.bn_axis_name, name="bn1")(h, train)
+        h = BatchNorm(self.bn_axis_name, dtype, name="bn1")(h, train)
         h = nn.relu(h)
 
         strides = (1, 2, 2, 2)
@@ -162,16 +162,22 @@ class Encoder(nn.Module):
         return tuple(fmaps)
 
 
-def _make_norm(kind: str, channels: int, gn_groups: int, name: str):
-    """'group' | 'instance' | 'none' (reference DecoderBlock :480-492)."""
+def _make_norm(kind: str, channels: int, gn_groups: int, name: str, dtype=jnp.float32):
+    """'group' | 'instance' | 'none' (reference DecoderBlock :480-492).
+
+    ``dtype`` is the result dtype (statistics are computed in float32 by flax);
+    returning the compute dtype keeps bf16 activation chains bf16.
+    """
     if kind == "group":
         return nn.GroupNorm(
-            num_groups=max(1, min(gn_groups, channels)), epsilon=1e-5, name=name
+            num_groups=max(1, min(gn_groups, channels)), epsilon=1e-5, dtype=dtype,
+            name=name,
         )
     if kind == "instance":
         # torch InstanceNorm2d default: per-(sample, channel) stats, no affine.
         return nn.GroupNorm(
-            num_groups=channels, epsilon=1e-5, use_bias=False, use_scale=False, name=name
+            num_groups=channels, epsilon=1e-5, use_bias=False, use_scale=False,
+            dtype=dtype, name=name,
         )
     if kind in ("none", None):
         return lambda v: v
@@ -232,7 +238,7 @@ class DecoderBlock(nn.Module):
                 dtype=dtype,
                 name="transpose",
             )(fmap)
-        x = _make_norm(self.norm, c, self.gn_groups, "norm1")(x)
+        x = _make_norm(self.norm, c, self.gn_groups, "norm1", dtype)(x)
 
         x = nn.Conv(
             self.output_channels,
@@ -242,7 +248,7 @@ class DecoderBlock(nn.Module):
             dtype=dtype,
             name="conv",
         )(x)
-        x = _make_norm(self.norm, self.output_channels, self.gn_groups, "norm2")(x)
+        x = _make_norm(self.norm, self.output_channels, self.gn_groups, "norm2", dtype)(x)
 
         if skip is not None:
             if skip.shape != x.shape:

@@ -55,6 +55,7 @@ def make_parallel_steps(
         base_train,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
+        donate_argnums=0,  # reuse the old state's buffers in place
     )
     eval_step = jax.jit(
         base_eval,

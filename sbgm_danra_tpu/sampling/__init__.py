@@ -3,6 +3,7 @@
 from sbgm_danra_tpu.sampling.guidance import apply_guidance, null_conditioning
 from sbgm_danra_tpu.sampling.samplers import (
     SamplerConfig,
+    edm_sampler,
     em_sampler,
     get_sampler,
     ode_sampler,
@@ -13,6 +14,7 @@ __all__ = [
     "SamplerConfig",
     "apply_guidance",
     "null_conditioning",
+    "edm_sampler",
     "em_sampler",
     "pc_sampler",
     "ode_sampler",

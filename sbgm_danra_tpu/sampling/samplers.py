@@ -49,6 +49,9 @@ class SamplerConfig:
     ode_method: str = "rk4"  # rk4 | heun | rk45
     rtol: float = 1e-5
     atol: float = 1e-5
+    # EDM (Karras) sampler knobs
+    edm_rho: float = 7.0
+    s_churn: float = 0.0  # stochastic churn; 0 = deterministic (VE only)
 
 
 def _bcast(v: Array, ndim: int) -> Array:
@@ -279,11 +282,99 @@ def _rk45_adaptive(drift, x0: Array, t0: float, t1: float, rtol: float, atol: fl
     return x
 
 
+def edm_sampler(
+    score_fn: ScoreFn,
+    rng: Array,
+    shape: Sequence[int],
+    sde: VESDE | VPSDE = VESDE(),
+    config: SamplerConfig = SamplerConfig(num_steps=35),
+    cond: Optional[Dict[str, Array]] = None,
+    z: Optional[Array] = None,
+) -> Array:
+    """EDM sampler (Karras et al. 2022): probability-flow Heun over a
+    rho-spaced sigma grid, with optional stochastic churn.
+
+    The reference ships only the unused schedule stub
+    (sbgm/score_sampling.py:304-307); this is the full sampler, the low-NFE
+    path to PC-quality samples: 2(num_steps - 1) UNet evaluations — at the
+    default 35 nodes that is 68 NFE versus the PC default's 2000.
+
+    Integrates in EDM's scaled coordinates: with m(t) the SDE mean coefficient
+    and shat(t) = std(t)/m(t), the change of variables xhat = x/m(t) turns the
+    probability-flow ODE into dxhat/dshat = -shat * shat_score(xhat), which is
+    the well-conditioned form the Karras rho-grid is designed for (the raw
+    t-parametrization is stiff for VE, whose g(t)^2 spans orders of
+    magnitude). The model score enters exactly via
+    shat_score(xhat, t) = m(t) * score(m(t) xhat, t). For VE (m == 1) this is
+    literally dx/dsigma = -sigma * score. Churn (s_churn > 0) re-noises xhat
+    up the shat axis before each step; hat space has unit mean coefficient, so
+    the rule is exact for both SDEs.
+    """
+    cond = cond or {}
+    guided = _prepare(score_fn, config)
+    init_rng, churn_rng = jax.random.split(rng)
+    b = shape[0]
+
+    from sbgm_danra_tpu.sde import edm_sigma_schedule
+
+    def m_of(t):
+        return sde.marginal_prob_mean_coeff(jnp.asarray(t, jnp.float32))
+
+    shat_max = sde.prior_std() / m_of(1.0)
+    shat_min = sde.marginal_prob_std(jnp.float32(config.eps)) / m_of(config.eps)
+    shats = edm_sigma_schedule(config.num_steps, shat_min, shat_max, config.edm_rho)
+    n_intervals = config.num_steps - 1
+    gamma = min(config.s_churn / max(n_intervals, 1), 2.0**0.5 - 1.0)  # static
+
+    # churned nodes: re-noise up to shat*(1+gamma), never above the prior
+    shats_churn = jnp.minimum(shats * (1.0 + gamma), shat_max) if gamma > 0 else shats
+    ts = sde.inverse_hat_std(shats)
+    ts_churn = sde.inverse_hat_std(shats_churn)
+    ms = m_of(ts)
+    ms_churn = m_of(ts_churn)
+
+    def shat_drift(xhat, t, m, shat):
+        bt = jnp.full((b,), t, jnp.float32)
+        return -shat * m * guided((m * xhat).astype(xhat.dtype), bt, **cond)
+
+    if z is None:
+        xhat = jax.random.normal(init_rng, tuple(shape), jnp.float32) * shat_max
+    else:
+        xhat = z / m_of(1.0)
+
+    xs = {
+        "shat": shats[:-1],
+        "shat_c": shats_churn[:-1],
+        "t_c": ts_churn[:-1],
+        "m_c": ms_churn[:-1],
+        "shat_next": shats[1:],
+        "t_next": ts[1:],
+        "m_next": ms[1:],
+    }
+
+    def step(carry, node):
+        xhat, key = carry
+        key, nkey = jax.random.split(key)
+        if gamma > 0.0:
+            extra = jnp.sqrt(jnp.maximum(node["shat_c"] ** 2 - node["shat"] ** 2, 0.0))
+            xhat = xhat + extra * jax.random.normal(nkey, xhat.shape, xhat.dtype)
+        ds = node["shat_next"] - node["shat_c"]
+        k1 = shat_drift(xhat, node["t_c"], node["m_c"], node["shat_c"])
+        xhat_pred = xhat + ds * k1
+        k2 = shat_drift(xhat_pred, node["t_next"], node["m_next"], node["shat_next"])
+        return (xhat + 0.5 * ds * (k1 + k2), key), None
+
+    (xhat, _), _ = jax.lax.scan(step, (xhat, churn_rng), xs)
+    return ms[-1] * xhat
+
+
 _SAMPLERS = {
     "em_sampler": em_sampler,
     "euler_maruyama": em_sampler,
     "pc_sampler": pc_sampler,
     "ode_sampler": ode_sampler,
+    "edm_sampler": edm_sampler,
+    "edm": edm_sampler,
 }
 
 

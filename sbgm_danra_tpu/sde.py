@@ -64,6 +64,20 @@ class VESDE:
         """Std of the prior p_1 used to initialize reverse-time sampling."""
         return self.marginal_prob_std(jnp.float32(1.0))
 
+    def inverse_std(self, std: Array) -> Array:
+        """t such that marginal_prob_std(t) == std (exact closed-form inverse).
+
+        From sigma(t)^2 = (sigma^(2t) - 1) / (2 ln sigma):
+        t = ln(1 + 2 ln(sigma) std^2) / (2 ln sigma).
+        """
+        std = jnp.asarray(std, dtype=jnp.float32)
+        log_sigma = jnp.log(jnp.float32(self.sigma))
+        return jnp.log1p(2.0 * log_sigma * std**2) / (2.0 * log_sigma)
+
+    def inverse_hat_std(self, hat_std: Array) -> Array:
+        """t such that std(t)/mean_coeff(t) == hat_std; VE mean coeff is 1."""
+        return self.inverse_std(hat_std)
+
 
 @dataclasses.dataclass(frozen=True)
 class VPSDE:
@@ -101,6 +115,29 @@ class VPSDE:
 
     def prior_std(self) -> Array:
         return jnp.float32(1.0)
+
+    def inverse_std(self, std: Array) -> Array:
+        """t such that marginal_prob_std(t) == std (closed-form quadratic root).
+
+        std^2 = 1 - exp(2 L(t)) with L(t) = -t^2 (bmax - bmin)/4 - t bmin/2, so
+        (bmax - bmin)/2 t^2 + bmin t + ln(1 - std^2) = 0; the positive root is
+        taken (std must lie in (0, prior_std))."""
+        std = jnp.asarray(std, dtype=jnp.float32)
+        a = 0.5 * (self.beta_max - self.beta_min)
+        b = jnp.float32(self.beta_min)
+        c = jnp.log1p(-jnp.clip(std**2, 0.0, 1.0 - 1e-7))
+        return (-b + jnp.sqrt(b**2 - 4.0 * a * c)) / (2.0 * a)
+
+    def inverse_hat_std(self, hat_std: Array) -> Array:
+        """t such that std(t)/mean_coeff(t) == hat_std.
+
+        hat_std^2 = exp(-2 L(t)) - 1 with L the log mean coefficient, so
+        (bmax - bmin)/2 t^2 + bmin t - ln(1 + hat_std^2) = 0."""
+        hat_std = jnp.asarray(hat_std, dtype=jnp.float32)
+        a = 0.5 * (self.beta_max - self.beta_min)
+        b = jnp.float32(self.beta_min)
+        c = -jnp.log1p(hat_std**2)
+        return (-b + jnp.sqrt(b**2 - 4.0 * a * c)) / (2.0 * a)
 
 
 def edm_sigma_schedule(

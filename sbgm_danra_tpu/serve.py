@@ -57,6 +57,8 @@ class InferenceEngine:
             eps=cfg.sampler.t_eps,
             guidance_scale=g.guidance_scale if g.enabled else None,
             guidance_scale_max=g.guidance_scale_max,
+            edm_rho=cfg.sampler.edm_rho,
+            s_churn=cfg.sampler.s_churn,
         )
         s = cfg.highres.data_size
         rf = cfg.lowres.resize_factor

@@ -104,6 +104,9 @@ class TrainingPipeline:
                 )
             )
         else:
+            # donate the incoming state: the step returns the new one, so the
+            # old params/opt/EMA buffers are reused in place (halves peak HBM
+            # for the state tree)
             self._train_step = jax.jit(
                 make_train_step(
                     self.model,
@@ -113,7 +116,8 @@ class TrainingPipeline:
                     detect_anomaly=cfg.training.detect_anomaly,
                     remat=cfg.training.remat,
                     skip_nonfinite_updates=cfg.training.skip_nonfinite_updates,
-                )
+                ),
+                donate_argnums=0,
             )
             self._eval_step = jax.jit(
                 make_eval_step(
@@ -331,6 +335,8 @@ class TrainingPipeline:
             eps=cfg.sampler.t_eps,
             guidance_scale=g.guidance_scale if g.enabled else None,
             guidance_scale_max=g.guidance_scale_max,
+            edm_rho=cfg.sampler.edm_rho,
+            s_churn=cfg.sampler.s_churn,
         )
         sampler = get_sampler(cfg.sampler.sampler_type)
         self.rng, key = jax.random.split(self.rng)

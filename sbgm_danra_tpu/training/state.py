@@ -159,7 +159,9 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", {}),
         buffers=variables.get("buffers", {}),
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda x: x, params),
+        # real copies, not aliases: params and ema_params are both donated by
+        # the jitted train step, and XLA rejects donating one buffer twice
+        ema_params=jax.tree.map(jnp.copy, params),
         tx=tx,
         ema_decay=cfg.training.ema_decay,
         use_ema=cfg.training.with_ema,

@@ -202,3 +202,30 @@ class TestTensorParallelHooks:
         params = {"layer": {"kernel": jnp.zeros((3, 3, 4, 132))}}  # 132 % 8 != 0
         out = shard_params(params, mesh2d)
         assert out["layer"]["kernel"].sharding.spec == P()
+
+
+class TestEnsembleEDM:
+    def test_sharded_edm_ensemble(self, mesh):
+        """EDM's 68-NFE path through the sharded member axis (the production
+        fast-ensemble configuration)."""
+        mu, s0 = 1.0, 2.0
+        sde = VESDE()
+
+        def score(x, t, **kw):
+            var = s0**2 + sde.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - mu) / var
+
+        samples = generate_ensemble(
+            score,
+            jax.random.PRNGKey(2),
+            n_members=16,
+            sample_shape=(8, 8, 1),
+            sampler="edm_sampler",
+            config=SamplerConfig(num_steps=18, s_churn=4.0),
+            mesh=mesh,
+        )
+        assert samples.shape == (16, 8, 8, 1)
+        assert len(samples.addressable_shards) == 8
+        arr = np.asarray(samples)
+        assert np.std(arr.mean(axis=(1, 2, 3))) > 0.05
+        assert np.isfinite(arr).all()

@@ -267,3 +267,107 @@ class TestVPSampling:
         # on the true distribution (unlike the VE case's prior mismatch)
         assert s.mean() == pytest.approx(self.MU, abs=0.1)
         assert s.std() == pytest.approx(self.S0, rel=0.1)
+
+
+class TestEDMSampler:
+    """EDM Heun over the Karras sigma grid (low-NFE path; reference ships only
+    the schedule stub at score_sampling.py:304-307)."""
+
+    def test_exact_gaussian_transport_ve(self):
+        from sbgm_danra_tpu.sampling import edm_sampler
+
+        cfg = SamplerConfig(num_steps=35)
+        samples = np.asarray(
+            jax.jit(lambda r: edm_sampler(exact_score, r, SHAPE, SDE, cfg))(
+                jax.random.PRNGKey(3)
+            )
+        )
+        assert samples.shape == SHAPE
+        # deterministic transport: same closed form as TestODESampler, but at
+        # 35 Karras nodes instead of 100+ uniform ones (the whole point of EDM)
+        mean_exp, std_exp = TestODESampler._expected()
+        assert samples.mean() == pytest.approx(mean_exp, abs=0.05)
+        assert samples.std() == pytest.approx(std_exp, rel=0.03)
+
+    def test_vp_transport(self):
+        from sbgm_danra_tpu.sampling import edm_sampler
+        from sbgm_danra_tpu.sde import VPSDE
+
+        vp = VPSDE()
+
+        def vp_score(x, t, **_):
+            m = vp.marginal_prob_mean_coeff(t).reshape(-1, 1, 1, 1)
+            var = (m * S0) ** 2 + vp.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - m * MU) / var
+
+        cfg = SamplerConfig(num_steps=50)
+        samples = np.asarray(
+            jax.jit(lambda r: edm_sampler(vp_score, r, SHAPE, vp, cfg))(
+                jax.random.PRNGKey(4)
+            )
+        )
+        assert samples.mean() == pytest.approx(MU, abs=0.15)
+        assert samples.std() == pytest.approx(S0, rel=0.1)
+
+    def test_two_nfe_per_interval(self):
+        from sbgm_danra_tpu.sampling import edm_sampler
+
+        calls = []
+
+        def counting_score(x, t, **kw):
+            calls.append(1)
+            return exact_score(x, t)
+
+        edm_sampler(
+            counting_score, jax.random.PRNGKey(0), (2, 4, 4, 1), SDE,
+            SamplerConfig(num_steps=5),
+        )
+        # traced once per scan body: two Heun stages
+        assert len(calls) == 2
+
+    def test_churn_stochastic_but_reproducible(self):
+        from sbgm_danra_tpu.sampling import edm_sampler
+
+        cfg = SamplerConfig(num_steps=20, s_churn=10.0)
+        shape = (64, 8, 8, 1)
+        a = edm_sampler(exact_score, jax.random.PRNGKey(5), shape, SDE, cfg)
+        b = edm_sampler(exact_score, jax.random.PRNGKey(5), shape, SDE, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # still transports correctly with churn on
+        assert np.asarray(a).std() == pytest.approx(S0, rel=0.15)
+
+    def test_churn_works_for_vp(self):
+        from sbgm_danra_tpu.sampling import edm_sampler
+        from sbgm_danra_tpu.sde import VPSDE
+
+        vp = VPSDE()
+
+        def vp_score(x, t, **_):
+            m = vp.marginal_prob_mean_coeff(t).reshape(-1, 1, 1, 1)
+            var = (m * S0) ** 2 + vp.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - m * MU) / var
+
+        # churn is exact in hat space (unit mean coeff) for any SDE
+        out = edm_sampler(
+            vp_score, jax.random.PRNGKey(0), (64, 8, 8, 1), vp,
+            SamplerConfig(num_steps=30, s_churn=5.0),
+        )
+        assert np.asarray(out).std() == pytest.approx(S0, rel=0.15)
+
+    def test_registry(self):
+        from sbgm_danra_tpu.sampling import edm_sampler, get_sampler
+
+        assert get_sampler("edm_sampler") is edm_sampler
+        assert get_sampler("edm") is edm_sampler
+
+
+class TestInverseStd:
+    @pytest.mark.parametrize("sde_cls", ["ve", "vp"])
+    def test_round_trip(self, sde_cls):
+        from sbgm_danra_tpu.sde import VESDE, VPSDE
+
+        sde = VESDE() if sde_cls == "ve" else VPSDE()
+        t = jnp.linspace(1e-3, 1.0, 64)
+        std = sde.marginal_prob_std(t)
+        t_back = sde.inverse_std(std)
+        np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), rtol=2e-4, atol=2e-5)
