@@ -31,6 +31,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--n_samples", type=int, default=8)
     parser.add_argument("--out_dir", default=None)
+    parser.add_argument("--agg_time", default=None,
+                        choices=["daily", "weekly", "monthly", "yearly"],
+                        help="run_statistics: also log stats of temporally "
+                             "aggregated composites (reference statistics.py:17-107)")
+    parser.add_argument("--agg_method", default="mean",
+                        choices=["mean", "sum", "max", "min"])
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -45,6 +51,28 @@ def main(argv=None) -> None:
         from sbgm_danra_tpu.pipelines.stats_pipeline import run_data_statistics
 
         run_data_statistics(cfg)
+        if args.agg_time:
+            from sbgm_danra_tpu.data import zarrlite
+            from sbgm_danra_tpu.data.dataset import extract_2d
+            from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
+            import datetime
+
+            from sbgm_danra_tpu.utils.dates import file_date
+
+            store = build_data_path(cfg.paths.data_dir, hr.model, hr.variable,
+                                    hr.full_domain_dims, "all")
+            group = zarrlite.open_group(store)
+            keys = sorted(group.keys())
+            fields = [extract_2d(group, k, hr.variable) for k in keys]
+            stamps = [
+                datetime.datetime.strptime(file_date(k), "%Y%m%d") for k in keys
+            ]
+            agg = aggregate_fields(fields, stamps, args.agg_time, args.agg_method)
+            logger.info(
+                "%s %s composites (%s/%s): %d periods, mean %.4f std %.4f",
+                hr.model, hr.variable, args.agg_time, args.agg_method,
+                agg["cutouts"].shape[0], agg["stack"].mean(), agg["stack"].std(),
+            )
     elif args.mode == "run_comparison":
         from sbgm_danra_tpu.pipelines.comparison import run_comparison
 

@@ -216,11 +216,18 @@ class DecoderBlock(nn.Module):
         dtype = self.compute_dtype
         b, h, w, c = fmap.shape
         if self.use_resize_conv:
-            x = jax.image.resize(
-                fmap,
-                (b, h * self.upsample_scale, w * self.upsample_scale, c),
-                method="bilinear",
-            )
+            if self.upsample_scale == 2:
+                # exact bilinear as a depthwise dilated conv — the gather-based
+                # jax.image.resize lowering is the slow path on TPU
+                from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+                x = upsample2x_bilinear(fmap)
+            else:
+                x = jax.image.resize(
+                    fmap,
+                    (b, h * self.upsample_scale, w * self.upsample_scale, c),
+                    method="bilinear",
+                )
             x = nn.Conv(
                 c,
                 kernel_size=(3, 3),

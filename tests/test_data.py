@@ -315,3 +315,32 @@ class TestFindRandPoints:
     def test_rejects_oversized_crop(self):
         with pytest.raises(ValueError):
             find_rand_points((0, 10, 0, 10), (20, 20), np.random.default_rng(0))
+
+
+class TestUpsample2x:
+    """Depthwise-conv bilinear upsample == jax.image.resize exactly."""
+
+    @pytest.mark.parametrize("shape", [(2, 9, 11, 5), (1, 4, 4, 8), (3, 16, 16, 3)])
+    def test_matches_jax_image_resize(self, shape):
+        import jax
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = jax.image.resize(
+            x, (shape[0], 2 * shape[1], 2 * shape[2], shape[3]), method="bilinear"
+        )
+        got = upsample2x_bilinear(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    def test_bf16_path(self):
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+        x = jnp.ones((1, 8, 8, 4), jnp.bfloat16)
+        out = upsample2x_bilinear(x)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)

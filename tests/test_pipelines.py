@@ -192,6 +192,9 @@ class TestDataCLI:
         with open(cfg_path, "w") as f:
             yaml.safe_dump(cfg, f)
         main(["--config_path", cfg_path, "--mode", "run_statistics"])
+        # aggregated composite logging path (reference statistics.py:17-107)
+        main(["--config_path", cfg_path, "--mode", "run_statistics",
+              "--agg_time", "monthly", "--agg_method", "max"])
         main(["--config_path", cfg_path, "--mode", "run_comparison"])
         main(["--config_path", cfg_path, "--mode", "run_correlation"])
         main(["--config_path", cfg_path, "--mode", "create_small_batches",
