@@ -15,7 +15,7 @@ import numpy as np
 VARIABLE_REGISTRY: Dict[str, Dict[str, str]] = {
     "temp": {"long_name": "2m temperature", "unit": "degC", "cmap": "plasma"},
     "prcp": {"long_name": "Total precipitation", "unit": "mm", "cmap": "inferno"},
-    "cape": {"long_name": "CAPE", "unit": "kJ/kg", "cmap": "virdis_r"},
+    "cape": {"long_name": "CAPE", "unit": "kJ/kg", "cmap": "viridis"},
     "nwvf": {"long_name": "Northward water vapour flux", "unit": "kg/m/s", "cmap": "cividis"},
     "ewvf": {"long_name": "Eastward water vapour flux", "unit": "kg/m/s", "cmap": "cividis"},
     "msl": {"long_name": "Mean sea level pressure", "unit": "hPa", "cmap": "coolwarm"},

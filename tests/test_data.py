@@ -344,3 +344,13 @@ class TestUpsample2x:
         out = upsample2x_bilinear(x)
         assert out.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)
+
+
+class TestVariableRegistry:
+    def test_all_cmaps_are_valid(self):
+        import matplotlib.pyplot as plt
+
+        from sbgm_danra_tpu.utils.units import VARIABLE_REGISTRY
+
+        for var, meta in VARIABLE_REGISTRY.items():
+            plt.get_cmap(meta["cmap"])  # raises on an unknown colormap name

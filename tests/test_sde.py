@@ -143,3 +143,41 @@ class TestDSMLoss:
         z_implied = (np.asarray(captured["x_t"]) - m * 5.0) / std
         # implied z should be standard normal-ish, not biased by the mean shrink
         assert abs(z_implied.mean()) < 0.2
+
+
+class TestAuxLosses:
+    """Reference utils.py:130-188 loss modules (off-main-path there too)."""
+
+    def test_simple_loss(self):
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.losses import simple_loss
+
+        a = jnp.ones((2, 4, 4, 1))
+        b = jnp.zeros((2, 4, 4, 1))
+        assert float(simple_loss(a, b)) == pytest.approx(1.0)
+
+    def test_hybrid_loss_matches_reference_rule(self):
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.losses import hybrid_loss, simple_loss
+
+        rng = np.random.default_rng(0)
+        preds = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
+        targs = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
+        expected = float(simple_loss(preds[-1], targs[0]))
+        for t in range(1, 4):
+            expected += 0.5 * float(simple_loss(preds[t - 1], targs[t]))
+        assert float(hybrid_loss(preds, targs)) == pytest.approx(expected, rel=1e-6)
+
+    def test_sdf_weighted_mse_bounds(self):
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.losses import sdf_weighted_mse
+
+        err = jnp.ones((2, 4, 4, 1))
+        zero = jnp.zeros_like(err)
+        deep_sea = sdf_weighted_mse(err, zero, jnp.full_like(err, -50.0))
+        deep_land = sdf_weighted_mse(err, zero, jnp.full_like(err, 50.0))
+        assert float(deep_sea) == pytest.approx(0.5, abs=1e-5)
+        assert float(deep_land) == pytest.approx(1.0, abs=1e-5)
