@@ -54,20 +54,16 @@ def _cond(b: int, size: int):
     }
 
 
-def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0):
-    """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
-    from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
-    from sbgm_danra_tpu.training.train_step import make_score_fn
-
+def _sampling_setup(batch: int, size: int, cfg_scale: float):
+    """Flagship inference setup shared by the sampler benchmarks: bf16-cast
+    weights (sampling streams half the parameter bytes per forward; norm
+    params stay fp32) + closed-over score_fn + conditioning."""
     model, sde = _flagship(size)
     cond = _cond(batch, size)
     init_kwargs = dict(
         x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
     )
     variables = model.init({"params": jax.random.PRNGKey(0)}, **init_kwargs, train=False)
-    # Sampling is inference: carry bf16 weights so every one of the ~4000 UNet
-    # forwards streams half the parameter bytes from HBM. Norm params stay
-    # fp32 (layers accumulate in fp32 regardless).
     variables = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
         variables,
@@ -76,22 +72,31 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
     def score_fn(x, t, **kw):
         return model.apply(variables, x, t, **kw, train=False)
 
-    config = SamplerConfig(num_steps=steps, guidance_scale=cfg_scale)
+    return sde, cond, score_fn
 
-    run = jax.jit(
-        lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
-    )
-    # compile + warmup
+
+def _time_compiled(run, n_rep: int = 3) -> float:
+    """Compile + warm up, then best-of-n timing (the remote-dispatch path adds
+    jitter that averages would fold into the device number)."""
     compiled = run.lower(jax.random.PRNGKey(0)).compile()
     compiled(jax.random.PRNGKey(0)).block_until_ready()
-    # best-of timing: the remote-dispatch path adds jitter that averages
-    # would fold into the device number
     dts = []
-    for i in range(3):
+    for i in range(n_rep):
         t0 = time.perf_counter()
         compiled(jax.random.PRNGKey(i)).block_until_ready()
         dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+    return min(dts)
+
+
+def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0):
+    """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
+    from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
+
+    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale)
+    config = SamplerConfig(num_steps=steps, guidance_scale=cfg_scale)
+    dt = _time_compiled(jax.jit(
+        lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
+    ))
     steps_per_sec = steps / dt
 
     # MXU utilization: XLA's cost analysis counts a scan body ONCE (not x
@@ -120,32 +125,11 @@ def bench_edm(batch: int = 13, size: int = 128, nodes: int = 35, cfg_scale: floa
     """Wall time of one full EDM sample batch (68 NFE vs the PC loop's 2000)."""
     from sbgm_danra_tpu.sampling.samplers import SamplerConfig, edm_sampler
 
-    model, sde = _flagship(size)
-    cond = _cond(batch, size)
-    init_kwargs = dict(
-        x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, **init_kwargs, train=False)
-    variables = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
-        variables,
-    )
-
-    def score_fn(x, t, **kw):
-        return model.apply(variables, x, t, **kw, train=False)
-
+    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale)
     config = SamplerConfig(num_steps=nodes, guidance_scale=cfg_scale)
-    run = jax.jit(
+    return _time_compiled(jax.jit(
         lambda rng: edm_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
-    )
-    compiled = run.lower(jax.random.PRNGKey(0)).compile()
-    compiled(jax.random.PRNGKey(0)).block_until_ready()
-    dts = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        compiled(jax.random.PRNGKey(i)).block_until_ready()
-        dts.append(time.perf_counter() - t0)
-    return min(dts)
+    ))
 
 
 def bench_train(batch: int = 16, size: int = 128, iters: int = 10):

@@ -52,26 +52,36 @@ def main(argv=None) -> None:
 
         run_data_statistics(cfg)
         if args.agg_time:
-            from sbgm_danra_tpu.data import zarrlite
-            from sbgm_danra_tpu.data.dataset import extract_2d
-            from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_fields
             import datetime
 
+            from sbgm_danra_tpu.data import zarrlite
+            from sbgm_danra_tpu.data.dataset import extract_2d
+            from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_stream
             from sbgm_danra_tpu.utils.dates import file_date
 
             store = build_data_path(cfg.paths.data_dir, hr.model, hr.variable,
                                     hr.full_domain_dims, "all")
             group = zarrlite.open_group(store)
             keys = sorted(group.keys())
-            fields = [extract_2d(group, k, hr.variable) for k in keys]
-            stamps = [
-                datetime.datetime.strptime(file_date(k), "%Y%m%d") for k in keys
-            ]
-            agg = aggregate_fields(fields, stamps, args.agg_time, args.agg_method)
+            # stream: one field in memory at a time (full archives are ~20 GB
+            # if stacked; see stats_pipeline.aggregate_stream)
+            items = (
+                (extract_2d(group, k, hr.variable),
+                 datetime.datetime.strptime(file_date(k), "%Y%m%d"))
+                for k in keys
+            )
+            n_periods, total, total_sq, count = 0, 0.0, 0.0, 0
+            for _, comp in aggregate_stream(items, args.agg_time, args.agg_method):
+                n_periods += 1
+                total += comp.sum()
+                total_sq += (comp * comp).sum()
+                count += comp.size
+            mean = total / max(count, 1)
+            std = (max(total_sq / max(count, 1) - mean * mean, 0.0)) ** 0.5
             logger.info(
                 "%s %s composites (%s/%s): %d periods, mean %.4f std %.4f",
                 hr.model, hr.variable, args.agg_time, args.agg_method,
-                agg["cutouts"].shape[0], agg["stack"].mean(), agg["stack"].std(),
+                n_periods, mean, std,
             )
     elif args.mode == "run_comparison":
         from sbgm_danra_tpu.pipelines.comparison import run_comparison

@@ -21,12 +21,17 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 logger = logging.getLogger(__name__)
 
 
 def _nc_reader(path):
-    """netCDF reader for the process mode; gated on netCDF4 availability."""
+    """netCDF reader for the process mode; gated on netCDF4 availability.
+
+    Returns (YYYYMMDD strings, fields) — the worker/npz naming contract
+    (per-day files ``{var}_{HxW}_{YYYYMMDD}.npz``, reference cdo_utils.py:146-193).
+    """
     try:
         import netCDF4  # type: ignore
     except ImportError as e:
@@ -36,8 +41,12 @@ def _nc_reader(path):
     from sbgm_danra_tpu.pipelines.era5.cdo_utils import find_data_var
 
     ds = netCDF4.Dataset(path)
-    times = netCDF4.num2date(ds["time"][:], ds["time"].units)
-    var = find_data_var(list(ds.variables), path.split("/")[-1].split("_")[0])
+    time_name = "time" if "time" in ds.variables else "valid_time"
+    raw_times = netCDF4.num2date(ds[time_name][:], ds[time_name].units)
+    times = [t.strftime("%Y%m%d") for t in raw_times]
+    # process_year hands us '{variable}_{year}_danra.nc'; find_data_var does
+    # tolerant discovery so the leading token is enough even for z_pl_* names
+    var = find_data_var(list(ds.variables), os.path.basename(path).split("_")[0])
     return times, ds[var][:]
 
 
@@ -93,6 +102,7 @@ def main(argv=None) -> None:
         done = run_worker(
             raw_dir, out_root, sorted(cfg.variables), cfg.year_list,
             cfg.grid_file, _nc_reader, max_workers=cfg.max_workers,
+            pressure_levels=cfg.pressure_levels,
         )
         for var, years in done.items():
             logger.info("%s: processed %d years", var, len(years))

@@ -39,17 +39,22 @@ def download_transfer_delete(
     from sbgm_danra_tpu.pipelines.era5.transfer import subprocess_capture
 
     runner = runner or subprocess_capture
+    levels = list(spec.pressure_levels) or [None]
     processed: Dict[str, List[int]] = {}
     for var in spec.variables:
-        present = remote_years_present(remote, remote_dir, var, runner)
+        # per-variable remote layout: the reference's lumi dirs embed {var}
+        # (era5_pipeline.yaml lumi: block)
+        var_dir = remote_dir.format(var=var) if "{var}" in remote_dir else remote_dir
+        present = remote_years_present(remote, var_dir, var, runner)
         todo = years_to_process(spec.years, present)
         logger.info("%s: %d years remote, %d to process", var, len(present), len(todo))
         done = []
         for year in todo:
-            path = download_year(client, spec, var, year)
-            rsync_push(path, remote, remote_dir, runner)
-            if not keep_local and os.path.exists(path):
-                os.remove(path)
+            for level in levels:
+                path = download_year(client, spec, var, year, level)
+                rsync_push(path, remote, var_dir, runner)
+                if not keep_local and os.path.exists(path):
+                    os.remove(path)
             done.append(year)
         processed[var] = done
     return processed

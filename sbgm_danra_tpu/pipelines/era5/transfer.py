@@ -30,7 +30,7 @@ def rsync_push(
     extra_args: Sequence[str] = ("-az", "--partial"),
 ) -> None:
     """rsync a file/dir to remote:dir (reference transfer.py:12-52)."""
-    argv = ["rsync", *extra_args, local_path, f"{remote}:{remote_dir}/"]
+    argv = ["rsync", *extra_args, local_path, f"{remote}:{remote_dir.rstrip('/')}/"]
     runner(argv)
     logger.info("pushed %s -> %s:%s", local_path, remote, remote_dir)
 

@@ -95,23 +95,44 @@ def run_worker(
     domain_dims: Sequence[int] = (589, 789),
     runner: Runner = subprocess_runner,
     max_workers: int = 4,
+    pressure_levels: Sequence[int] = (),
 ) -> Dict[str, List[int]]:
-    """Pool over (variable, year) with completeness-based resume (:below 150)."""
+    """Pool over (variable, year[, level]) with completeness-based resume.
+
+    With ``pressure_levels``, each (var, level) pair becomes its own output
+    variable ``{var}_pl_{level}`` reading the level-suffixed raw file that
+    ``download.target_path`` writes — the naming the training configs condition
+    on (z_pl_250..z_pl_1000). ``{var}`` in raw_dir/out_root resolves per
+    variable (the reference's lumi directory layout).
+    """
     jobs = []
-    for var in variables:
-        out_dir = os.path.join(out_root, var)
+    # (output variable name, raw filename stem) pairs
+    if pressure_levels:
+        streams = [
+            (f"{var}_pl_{pl}", f"era5_{var}_pl{pl}")
+            for var in variables
+            for pl in pressure_levels
+        ]
+    else:
+        streams = [(var, f"era5_{var}") for var in variables]
+    for out_var, stem in streams:
+        if "{var}" in out_root:
+            out_dir = out_root.format(var=out_var)
+        else:
+            out_dir = os.path.join(out_root, out_var)
         os.makedirs(out_dir, exist_ok=True)
+        in_dir = raw_dir.format(var=out_var) if "{var}" in raw_dir else raw_dir
         for year in years:
-            if year_complete(out_dir, var, year, domain_dims):
-                logger.info("%s %d already complete; skipping", var, year)
+            if year_complete(out_dir, out_var, year, domain_dims):
+                logger.info("%s %d already complete; skipping", out_var, year)
                 continue
-            raw_nc = os.path.join(raw_dir, f"era5_{var}_{year}.nc")
+            raw_nc = os.path.join(in_dir, f"{stem}_{year}.nc")
             if not os.path.exists(raw_nc):
                 logger.warning("missing raw file %s; skipping", raw_nc)
                 continue
-            jobs.append((var, year, raw_nc, out_dir))
+            jobs.append((out_var, year, raw_nc, out_dir))
 
-    done: Dict[str, List[int]] = {v: [] for v in variables}
+    done: Dict[str, List[int]] = {v: [] for v, _ in streams}
     with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
         futs = {
             pool.submit(

@@ -144,6 +144,66 @@ def aggregate_fields(
     return {"cutouts": agg, "stack": agg.ravel(), "timestamps": out_ts}
 
 
+def aggregate_stream(
+    items,
+    agg_time: str,
+    agg_method: str = "mean",
+):
+    """Constant-memory variant of :func:`aggregate_fields`.
+
+    ``items`` yields (field, timestamp) in date order; composites are reduced
+    incrementally per period (running sum/max/min + count), so peak memory is
+    one field — full 30-year archives aggregate without materializing the
+    daily stack. Yields (period_start, composite) as periods complete.
+    """
+    import datetime
+
+    if agg_method not in _AGG_METHODS:
+        raise ValueError(f"Unsupported aggregation method: {agg_method}")
+
+    def group_key(t):
+        if agg_time == "weekly":
+            iso = t.isocalendar()
+            return (iso[0], iso[1])
+        if agg_time == "monthly":
+            return (t.year, t.month)
+        if agg_time == "yearly":
+            return (t.year,)
+        if agg_time == "daily":
+            return None
+        raise ValueError(f"Unsupported aggregation_time: {agg_time}")
+
+    def period_start(key):
+        if agg_time == "weekly":
+            return datetime.datetime.fromisocalendar(key[0], key[1], 1)
+        if agg_time == "monthly":
+            return datetime.datetime(key[0], key[1], 1)
+        return datetime.datetime(key[0], 1, 1)
+
+    acc, count, cur = None, 0, None
+    for field, ts in items:
+        t = datetime.datetime.fromisoformat(ts) if isinstance(ts, str) else ts
+        field = np.asarray(field, np.float64)
+        if agg_time == "daily":
+            yield t, field
+            continue
+        key = group_key(t)
+        if key != cur:
+            if cur is not None:
+                yield period_start(cur), (acc / count if agg_method == "mean" else acc)
+            acc, count, cur = field.copy(), 1, key
+        else:
+            count += 1
+            if agg_method == "mean" or agg_method == "sum":
+                acc += field
+            elif agg_method == "max":
+                np.maximum(acc, field, out=acc)
+            else:
+                np.minimum(acc, field, out=acc)
+    if cur is not None:
+        yield period_start(cur), (acc / count if agg_method == "mean" else acc)
+
+
 def compute_global_stats(
     store_path: str,
     variable: str,

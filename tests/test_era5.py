@@ -300,3 +300,59 @@ class TestPipelineConfig:
         cfg_path.write_text("variables: {}\nyears: [2000, 2000]\n")
         with pytest.raises(SystemExit, match="remote"):
             main(["--config_path", str(cfg_path), "--mode", "stream"])
+
+
+class TestPressureAndLayout:
+    """Code-review fixes: pressure levels flow through stream/process, and the
+    reference's {var} remote-directory placeholder resolves per variable."""
+
+    def test_stream_honors_pressure_levels_and_var_dirs(self, tmp_path):
+        fake = FakeClient()
+        calls = []
+
+        def runner(argv):
+            calls.append(list(argv))
+            return ""  # no remote years present
+
+        spec = DownloadSpec(
+            variables=("z",), years=(2000,), out_dir=str(tmp_path),
+            pressure_levels=(250, 500),
+        )
+        done = download_transfer_delete(fake, spec, "u@h", "/scratch/raw/{var}/",
+                                        runner=runner)
+        assert done["z"] == [2000]
+        # one CDS request per level, against the pressure-level dataset
+        assert len(fake.calls) == 2
+        assert all(c[0] == "reanalysis-era5-pressure-levels" for c in fake.calls)
+        assert {c[1]["pressure_level"] for c in fake.calls} == {"250", "500"}
+        # rsync target substitutes {var}
+        rsyncs = [c for c in calls if c[0] == "rsync"]
+        assert rsyncs and all(c[-1] == "u@h:/scratch/raw/z/" for c in rsyncs)
+
+    def test_worker_pressure_levels_make_pl_variables(self, tmp_path):
+        import numpy as np
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        # level-suffixed raw files as download.target_path writes them
+        for pl in (250, 500):
+            (raw / f"era5_z_pl{pl}_2001.nc").write_text("fake")
+
+        def fake_reader(path):
+            days = [f"2001{m:02d}{d:02d}" for m in range(1, 13)
+                    for d in range(1, 32) if not (m == 2 and d > 28)
+                    and not (m in (4, 6, 9, 11) and d > 30)]
+            fields = np.zeros((len(days), 4, 6), np.float32)
+            return days, fields
+
+        done = run_worker(
+            str(raw), str(tmp_path / "out"), ["z"], [2001], "grid.txt",
+            fake_reader, domain_dims=(4, 6), runner=lambda argv: None,
+            pressure_levels=(250, 500),
+        )
+        assert done["z_pl_250"] == [2001] and done["z_pl_500"] == [2001]
+        import glob
+
+        files = glob.glob(str(tmp_path / "out" / "z_pl_500" / "*.npz"))
+        assert len(files) == 365
+        assert files[0].split("/")[-1].startswith("z_pl_500_4x6_2001")

@@ -284,3 +284,29 @@ class TestAggregation:
             aggregate_fields(fields, ts, "hourly")
         with pytest.raises(ValueError, match="method"):
             aggregate_fields(fields, ts, "monthly", "median")
+
+
+class TestAggregateStream:
+    """Constant-memory aggregation == the stacked reference implementation."""
+
+    @pytest.mark.parametrize("agg_time,agg_method",
+                             [("monthly", "mean"), ("weekly", "max"),
+                              ("yearly", "sum"), ("monthly", "min")])
+    def test_matches_aggregate_fields(self, agg_time, agg_method):
+        import datetime
+
+        from sbgm_danra_tpu.pipelines.stats_pipeline import (
+            aggregate_fields, aggregate_stream,
+        )
+
+        t0 = datetime.datetime(2000, 12, 20)
+        ts = [t0 + datetime.timedelta(days=i) for i in range(60)]
+        rng = np.random.default_rng(3)
+        fields = [rng.normal(size=(3, 4)) for _ in range(60)]
+
+        ref = aggregate_fields(fields, ts, agg_time, agg_method)
+        got = list(aggregate_stream(zip(fields, ts), agg_time, agg_method))
+        assert [t for t, _ in got] == list(ref["timestamps"])
+        np.testing.assert_allclose(
+            np.stack([c for _, c in got]), ref["cutouts"], rtol=1e-12
+        )
