@@ -45,16 +45,38 @@ def download_transfer_delete(
         # per-variable remote layout: the reference's lumi dirs embed {var}
         # (era5_pipeline.yaml lumi: block)
         var_dir = remote_dir.format(var=var) if "{var}" in remote_dir else remote_dir
-        present = remote_years_present(remote, var_dir, var, runner)
-        todo = years_to_process(spec.years, present)
-        logger.info("%s: %d years remote, %d to process", var, len(present), len(todo))
+        # Per-(var, level) inventories: filenames encode _pl{level}, so each
+        # level resumes independently — a crash between levels of a year
+        # redoes only the levels not yet pushed, not every level's CDS
+        # download. Generalized redo rule (reference stream.py:100-123): every
+        # missing (year, level) is processed, plus ONE suspect redo — the
+        # last-pushed level of the newest remotely-present year, whose rsync
+        # the crash may have left partial.
+        present_by_level: Dict[Optional[int], Set[int]] = {}
+        for level in levels:
+            key = var if level is None else f"{var}_pl{level}"
+            present_by_level[level] = remote_years_present(remote, var_dir, key, runner)
+            logger.info("%s: %d years remote", key, len(present_by_level[level]))
+        todo_by_level = {
+            lv: {y for y in spec.years if y not in present_by_level[lv]}
+            for lv in levels
+        }
+        all_present = set().union(*present_by_level.values())
+        if all_present:
+            y_max = max(all_present)
+            if y_max in spec.years:
+                pushed = [lv for lv in levels if y_max in present_by_level[lv]]
+                if pushed:
+                    todo_by_level[pushed[-1]].add(y_max)
         done = []
-        for year in todo:
-            for level in levels:
+        for year in spec.years:
+            pending = [lv for lv in levels if year in todo_by_level[lv]]
+            for level in pending:
                 path = download_year(client, spec, var, year, level)
                 rsync_push(path, remote, var_dir, runner)
                 if not keep_local and os.path.exists(path):
                     os.remove(path)
-            done.append(year)
+            if pending:
+                done.append(year)
         processed[var] = done
     return processed

@@ -106,22 +106,25 @@ def run_worker(
     variable (the reference's lumi directory layout).
     """
     jobs = []
-    # (output variable name, raw filename stem) pairs
+    # (output variable name, raw filename stem, bare source variable) triples
     if pressure_levels:
         streams = [
-            (f"{var}_pl_{pl}", f"era5_{var}_pl{pl}")
+            (f"{var}_pl_{pl}", f"era5_{var}_pl{pl}", var)
             for var in variables
             for pl in pressure_levels
         ]
     else:
-        streams = [(var, f"era5_{var}") for var in variables]
-    for out_var, stem in streams:
+        streams = [(var, f"era5_{var}", var) for var in variables]
+    for out_var, stem, src_var in streams:
         if "{var}" in out_root:
             out_dir = out_root.format(var=out_var)
         else:
             out_dir = os.path.join(out_root, out_var)
         os.makedirs(out_dir, exist_ok=True)
-        in_dir = raw_dir.format(var=out_var) if "{var}" in raw_dir else raw_dir
+        # Raw dirs are laid out by stream.py per BARE variable (stream.py
+        # rsyncs every level's file into remote_dir.format(var=<bare var>));
+        # the level suffix lives in the filename stem, not the directory.
+        in_dir = raw_dir.format(var=src_var) if "{var}" in raw_dir else raw_dir
         for year in years:
             if year_complete(out_dir, out_var, year, domain_dims):
                 logger.info("%s %d already complete; skipping", out_var, year)
@@ -132,7 +135,7 @@ def run_worker(
                 continue
             jobs.append((out_var, year, raw_nc, out_dir))
 
-    done: Dict[str, List[int]] = {v: [] for v, _ in streams}
+    done: Dict[str, List[int]] = {v: [] for v, _, _ in streams}
     with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
         futs = {
             pool.submit(

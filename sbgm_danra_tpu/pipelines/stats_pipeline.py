@@ -181,6 +181,7 @@ def aggregate_stream(
         return datetime.datetime(key[0], 1, 1)
 
     acc, count, cur = None, 0, None
+    closed = set()
     for field, ts in items:
         t = datetime.datetime.fromisoformat(ts) if isinstance(ts, str) else ts
         field = np.asarray(field, np.float64)
@@ -190,7 +191,17 @@ def aggregate_stream(
         key = group_key(t)
         if key != cur:
             if cur is not None:
+                closed.add(cur)
                 yield period_start(cur), (acc / count if agg_method == "mean" else acc)
+            if key in closed:
+                # Sorted input is a precondition (each period is reduced once,
+                # in one pass); a reappearing period means out-of-order
+                # timestamps or interleaved files and would silently produce
+                # duplicate/split composites.
+                raise ValueError(
+                    f"period {key} reappeared after being closed; "
+                    "aggregate_stream requires date-ordered input"
+                )
             acc, count, cur = field.copy(), 1, key
         else:
             count += 1

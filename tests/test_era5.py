@@ -356,3 +356,56 @@ class TestPressureAndLayout:
         files = glob.glob(str(tmp_path / "out" / "z_pl_500" / "*.npz"))
         assert len(files) == 365
         assert files[0].split("/")[-1].startswith("z_pl_500_4x6_2001")
+
+    def test_worker_var_dirs_with_pressure_levels(self, tmp_path):
+        """Round-trip of the lumi layout: stream rsyncs raw files into
+        remote_dir.format(var=<bare var>) (filenames carry the level suffix),
+        so run_worker must resolve {var} raw dirs with the BARE variable —
+        formatting with the level-suffixed output name silently dropped every
+        year as 'missing raw file'."""
+        import numpy as np
+
+        raw_root = tmp_path / "raw"
+        (raw_root / "z").mkdir(parents=True)  # bare-var dir, as stream.py pushes
+        for pl in (250, 500):
+            (raw_root / "z" / f"era5_z_pl{pl}_2001.nc").write_text("fake")
+
+        def fake_reader(path):
+            days = [f"2001{m:02d}{d:02d}" for m in range(1, 13)
+                    for d in range(1, 32) if not (m == 2 and d > 28)
+                    and not (m in (4, 6, 9, 11) and d > 30)]
+            return days, np.zeros((len(days), 4, 6), np.float32)
+
+        done = run_worker(
+            str(raw_root / "{var}"), str(tmp_path / "out" / "{var}"), ["z"],
+            [2001], "grid.txt", fake_reader, domain_dims=(4, 6),
+            runner=lambda argv: None, pressure_levels=(250, 500),
+        )
+        assert done["z_pl_250"] == [2001]
+        assert done["z_pl_500"] == [2001]
+
+    def test_stream_resume_per_level(self, tmp_path):
+        """Per-(var, level) inventories: only missing (year, level) files are
+        re-downloaded, plus one suspect redo — the last-pushed level of the
+        newest remote year (its rsync may be partial after a crash)."""
+        fake = FakeClient()
+        listing = (
+            "era5_z_pl250_2000.nc era5_z_pl250_2001.nc "
+            "era5_z_pl500_2000.nc era5_z_pl500_2001.nc "
+            "era5_z_pl850_2000.nc"
+        )
+
+        def runner(argv):
+            return listing if argv[0] == "ssh" else ""
+
+        spec = DownloadSpec(
+            variables=("z",), years=(2000, 2001), out_dir=str(tmp_path),
+            pressure_levels=(250, 500, 850),
+        )
+        done = download_transfer_delete(fake, spec, "u@h", "/scratch/{var}/",
+                                        runner=runner)
+        assert done["z"] == [2001]
+        got = {(c[1]["pressure_level"], c[1]["year"]) for c in fake.calls}
+        # missing: pl850/2001; suspect redo: pl500/2001 (last pushed of 2001).
+        # pl250/2001 and all of 2000 are NOT re-downloaded.
+        assert got == {("850", "2001"), ("500", "2001")}

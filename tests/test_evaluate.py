@@ -310,3 +310,18 @@ class TestAggregateStream:
         np.testing.assert_allclose(
             np.stack([c for _, c in got]), ref["cutouts"], rtol=1e-12
         )
+
+
+def test_aggregate_stream_rejects_out_of_order_periods():
+    """Sorted input is an enforced precondition: a period key reappearing after
+    its composite was emitted raises instead of silently splitting it."""
+    import datetime
+
+    from sbgm_danra_tpu.pipelines.stats_pipeline import aggregate_stream
+
+    jan = datetime.datetime(2000, 1, 15)
+    feb = datetime.datetime(2000, 2, 15)
+    fields = [np.ones((2, 2))] * 3
+    items = zip(fields, [jan, feb, jan])
+    with pytest.raises(ValueError, match="reappeared"):
+        list(aggregate_stream(items, "monthly", "mean"))
