@@ -50,20 +50,20 @@ def generate_ensemble(
     sample_shape: per-member (H, W, C). Returns (n_members, H, W, C).
     """
     sampler_fn = get_sampler(sampler)
-    shape = (n_members,) + tuple(sample_shape)
-    full_cond = repeat_condition(cond or {}, n_members)
+    # Members not divisible by the device count are padded to the next
+    # multiple and trimmed after sampling, so the sharded path is taken for
+    # ANY n_members (a 1000-member ensemble on a 48-device slice must not
+    # silently run on one chip).
+    n_run = n_members
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_run = ((n_members + n_dev - 1) // n_dev) * n_dev
+    shape = (n_run,) + tuple(sample_shape)
+    full_cond = repeat_condition(cond or {}, n_run)
 
     def run(key, c):
         return sampler_fn(score_fn, key, shape, sde, config, cond=c)
 
-    if mesh is not None and n_members % mesh.devices.size != 0:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "n_members %d not divisible by %d mesh devices; running unsharded",
-            n_members, mesh.devices.size,
-        )
-        mesh = None
     if mesh is None:
         return jax.jit(run)(rng, full_cond)
 
@@ -72,4 +72,5 @@ def generate_ensemble(
         lambda x: None if x is None else jax.device_put(x, member_sh), full_cond
     )
     run_sharded = jax.jit(run, out_shardings=member_sh)
-    return run_sharded(rng, full_cond)
+    out = run_sharded(rng, full_cond)
+    return out[:n_members] if n_run != n_members else out

@@ -57,7 +57,9 @@ def _ring_attention_local(q: Array, k: Array, v: Array, axis_name: str) -> Array
     acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
     # initial accumulators are device-invariant constants; mark them as varying
     # over the mesh axis so the scan carry type matches the updated values.
-    m0, l0, acc0 = (jax.lax.pvary(x, (axis_name,)) for x in (m0, l0, acc0))
+    m0, l0, acc0 = (
+        jax.lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0)
+    )
     (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, acc0, k, v), None, length=n)
     out = acc / jnp.maximum(l, 1e-30)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)

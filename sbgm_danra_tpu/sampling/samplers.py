@@ -184,7 +184,18 @@ def ode_sampler(
     drift = lambda x, t: _ode_drift(guided, sde, cond, x, t, b)
 
     if config.ode_method == "rk45":
-        return _rk45_adaptive(drift, x, 1.0, config.eps, config.rtol, config.atol)
+        x, converged = _rk45_adaptive(
+            drift, x, 1.0, config.eps, config.rtol, config.atol
+        )
+        jax.lax.cond(
+            converged,
+            lambda: None,
+            lambda: jax.debug.print(
+                "ode_sampler(rk45): iteration cap reached before t=eps; "
+                "sample is UNCONVERGED"
+            ),
+        )
+        return x
 
     time_steps = jnp.linspace(1.0, config.eps, config.num_steps)
     dt = -(1.0 - config.eps) / (config.num_steps - 1)
@@ -276,10 +287,12 @@ def _rk45_adaptive(drift, x0: Array, t0: float, t1: float, rtol: float, atol: fl
         return (x, t, h, n + 1)
 
     h0 = jnp.float32((t1 - t0) / 100.0)
-    x, _, _, _ = jax.lax.while_loop(
+    x, t, _, _ = jax.lax.while_loop(
         cond_fn, body_fn, (x0, jnp.float32(t0), h0, jnp.int32(0))
     )
-    return x
+    # converged iff integration actually reached t1; a stiff drift can burn
+    # the 10k-iteration cap first and would otherwise return silently.
+    return x, t <= t1 + 1e-9
 
 
 def edm_sampler(

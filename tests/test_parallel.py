@@ -229,3 +229,33 @@ class TestEnsembleEDM:
         arr = np.asarray(samples)
         assert np.std(arr.mean(axis=(1, 2, 3))) > 0.05
         assert np.isfinite(arr).all()
+
+
+class TestEnsemblePadding:
+    def test_nondivisible_members_stay_sharded(self, mesh):
+        """100 % 8 != 0: members are padded to the next device multiple and
+        trimmed, NOT silently dropped to a single device (the BASELINE
+        projection math assumes the sharded path for any n_members)."""
+        mu, s0 = 1.0, 2.0
+        sde = VESDE()
+
+        def score(x, t, **kw):
+            var = s0**2 + sde.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - mu) / var
+
+        kwargs = dict(
+            sample_shape=(8, 8, 1), sampler="em_sampler",
+            config=SamplerConfig(num_steps=50),
+        )
+        samples = generate_ensemble(
+            score, jax.random.PRNGKey(0), n_members=100, mesh=mesh, **kwargs
+        )
+        assert samples.shape == (100, 8, 8, 1)
+        arr = np.asarray(samples)
+        assert np.isfinite(arr).all()
+        # statistically equal to the unsharded ensemble (same stationary law)
+        unsharded = np.asarray(generate_ensemble(
+            score, jax.random.PRNGKey(0), n_members=100, **kwargs
+        ))
+        assert arr.mean() == pytest.approx(unsharded.mean(), abs=0.4)
+        assert arr.std() == pytest.approx(unsharded.std(), rel=0.15)

@@ -371,3 +371,32 @@ class TestInverseStd:
         std = sde.marginal_prob_std(t)
         t_back = sde.inverse_std(std)
         np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), rtol=2e-4, atol=2e-5)
+
+
+class TestRK45Convergence:
+    def test_flag_set_on_pathological_drift(self):
+        """A stiff drift that burns the iteration cap must report
+        converged=False instead of returning an unconverged sample silently."""
+        from sbgm_danra_tpu.sampling.samplers import _rk45_adaptive
+
+        # error estimate never satisfies the controller: reject forever
+        stiff = lambda x, t: 1e12 * jnp.sin(1e9 * t) * (1.0 + x)
+        x0 = jnp.ones((2, 4, 4, 1))
+        x, converged = jax.jit(
+            lambda x0: _rk45_adaptive(stiff, x0, 1.0, 1e-3, 1e-10, 1e-12)
+        )(x0)
+        assert not bool(converged)
+
+    def test_flag_true_on_smooth_drift(self):
+        from sbgm_danra_tpu.sampling.samplers import _rk45_adaptive
+
+        smooth = lambda x, t: -x
+        x0 = jnp.ones((2, 4, 4, 1))
+        x, converged = jax.jit(
+            lambda x0: _rk45_adaptive(smooth, x0, 1.0, 1e-3, 1e-5, 1e-6)
+        )(x0)
+        assert bool(converged)
+        # integrating dx/dt = -x DOWNWARD from t0=1 to t1=1e-3: x(t1) = e^{t0-t1}
+        np.testing.assert_allclose(
+            np.asarray(x), np.exp(1.0 - 1e-3) * np.ones_like(x0), rtol=1e-3
+        )
