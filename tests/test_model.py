@@ -5,12 +5,13 @@ Parity targets from the reference (sbgm/score_unet.py; BASELINE.md):
   [2, 4, 8, 16, 32];
 - 19,083,842 trainable params in the default configuration (in=6 cond channels,
   time_embedding 256, 4 seasons, group-norm decoder, resize-conv upsampling).
-  This is the analytic parameter count of the reference source as mounted
-  (conv/attention/norm/projection modules summed from sbgm/score_unet.py).
-  The 17,511,874 figure in the reference's 2025-07-16 training log predates
-  code revisions and does not correspond to any configuration of the current
-  source; the 768 non-trainable parameters in that log do match the six
-  128-wide fixed Fourier-frequency buffers this model also carries;
+  docs/PARAMS.md derives this module-by-module: the reference source as
+  mounted counts 19,080,898 analytically; the +2,944 is this decoder's affine
+  norm scales/offsets (torch InstanceNorm2d is affine=False). The 17,511,874
+  in the reference's 2025-07-16 training log is an earlier revision —
+  PARAMS.md reconstructs it EXACTLY (1-channel geo, attention at all stages,
+  ConvTranspose2d upsampling), and its 768 non-trainable params match the six
+  128-wide fixed Fourier buffers this model also carries;
 - output = decoder output / marginal_prob_std(t).
 """
 
