@@ -96,6 +96,19 @@ def train_main(cfg: Config) -> TrainingPipeline:
                 (time.time() - t0) / n_probe, n_probe,
             )
 
+    # initial sample-batch grid (reference training_main.py:66 "Saved initial
+    # sample plot"; rows = samples, columns = HR/LR/geo/sdf keys)
+    if cfg.visualization.plot_initial_sample:
+        from sbgm_danra_tpu.utils.plotting import plot_batch_grid
+
+        # raw collated batch: reference-style keys ({var}_hr/{var}_lr/lsm/topo/sdf)
+        batch = next(iter(train_loader))
+        fig_dir = os.path.join(cfg.paths.sample_dir, "figures")
+        os.makedirs(fig_dir, exist_ok=True)
+        path = os.path.join(fig_dir, "initial_sample_plot.png")
+        plot_batch_grid(batch, hr_var=cfg.highres.variable, path=path)
+        logger.info("Saved initial sample plot to %s", path)
+
     back_transforms = _back_transforms(cfg)
     mesh = _maybe_mesh(cfg)
     pipeline = TrainingPipeline(

@@ -64,9 +64,12 @@ class Evaluation:
 
     # -- metrics ---------------------------------------------------------------
 
-    def full_pixel_statistics(self, save_stats: bool = True) -> Dict[str, np.ndarray]:
-        """Pooled value distributions + per-sample |bias| and RMSE
-        (reference evaluation.py:266-369)."""
+    def full_pixel_statistics(
+        self, save_stats: bool = True, save_figs: bool = True
+    ) -> Dict[str, np.ndarray]:
+        """Pooled value distributions, per-sample |bias|/RMSE, per-pixel error
+        arrays, plus the reference's two figures: pooled value histograms and
+        the per-pixel RMSE/MAE histograms (reference evaluation.py:266-369)."""
         gen = self.gen_imgs.reshape(self.gen_imgs.shape[0], -1)
         ref = self.eval_imgs.reshape(self.eval_imgs.shape[0], -1)
         if ref.shape[0] == 1 and gen.shape[0] > 1:
@@ -78,6 +81,9 @@ class Evaluation:
             "abs_error_per_sample": np.abs(err).mean(axis=1),
             "rmse_per_sample": np.sqrt((err**2).mean(axis=1)),
             "bias_per_sample": err.mean(axis=1),
+            # per-pixel flattened errors (reference mae_all/rmse_all, :336-337)
+            "mae_all": np.abs(err).ravel(),
+            "rmse_all": np.abs(err).ravel(),  # sqrt(square(x)) == |x| pointwise
         }
         if save_stats:
             out = os.path.join(
@@ -85,6 +91,27 @@ class Evaluation:
             )
             np.savez_compressed(out, **stats)
             logger.info("Saved pixel statistics to %s", out)
+        if save_figs:
+            from sbgm_danra_tpu.utils.plotting import (
+                plot_error_histograms, plot_pixel_histograms,
+            )
+            from sbgm_danra_tpu.utils.units import VARIABLE_REGISTRY
+
+            unit = VARIABLE_REGISTRY.get(
+                self.cfg.highres.variable, {}
+            ).get("unit", "")
+            plot_pixel_histograms(
+                stats["gen_values"], stats["eval_values"], unit,
+                path=os.path.join(
+                    self.fig_path, f"pixel_hist_{self.sample_type}.png"
+                ),
+            )
+            plot_error_histograms(
+                stats["mae_all"], stats["rmse_all"],
+                path=os.path.join(
+                    self.fig_path, f"rmse_mae_hist_{self.sample_type}.png"
+                ),
+            )
         return stats
 
     def spatial_statistics(self, save_stats: bool = True) -> Dict[str, np.ndarray]:

@@ -54,6 +54,96 @@ def plot_samples_and_generated(batch: Dict, generated: np.ndarray, cfg=None):
     return fig
 
 
+def plot_pixel_histograms(
+    gen: np.ndarray,
+    ref: np.ndarray,
+    unit: str = "",
+    path: Optional[str] = None,
+):
+    """Pooled pixel-value distributions of generated vs truth with mean lines
+    and the bias in the title (reference evaluation.py:292-306)."""
+    gen = np.asarray(gen).ravel()
+    ref = np.asarray(ref).ravel()
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.hist(gen, bins=50, alpha=0.5, label="Generated")
+    ax.hist(ref, bins=50, alpha=0.5, color="r", label="Eval")
+    gm, rm = float(np.nanmean(gen)), float(np.nanmean(ref))
+    ax.axvline(rm, color="r", alpha=0.5, linestyle="--", label=f"Eval mean, {rm:.2f}")
+    ax.axvline(gm, color="b", alpha=0.5, linestyle="--", label=f"Generated mean, {gm:.2f}")
+    ax.set_title(f"Distribution of generated and eval images, bias: {gm - rm:.2f}")
+    ax.set_xlabel(f"Pixel value {f'[{unit}]' if unit else ''}")
+    ax.set_ylabel("Count")
+    ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def plot_error_histograms(
+    abs_err: np.ndarray,
+    rmse: np.ndarray,
+    path: Optional[str] = None,
+):
+    """Two-panel per-pixel RMSE and MAE histograms over all samples
+    (reference evaluation.py:332-357)."""
+    fig, axs = plt.subplots(2, 1, figsize=(12, 6))
+    axs[0].hist(np.asarray(rmse).ravel(), bins=150, alpha=0.7, edgecolor="k")
+    axs[0].set_title("RMSE for all pixels")
+    axs[0].set_ylabel("Count")
+    axs[1].hist(np.asarray(abs_err).ravel(), bins=70, alpha=0.7, edgecolor="k")
+    axs[1].set_title("MAE for all pixels")
+    axs[1].set_xlabel("Error")
+    axs[1].set_ylabel("Count")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+_GRID_CMAPS = {"lsm": "binary", "topo": "terrain", "sdf": "coolwarm"}
+
+
+def plot_batch_grid(
+    batch: Dict,
+    hr_var: str = "temp",
+    n_samples: int = 3,
+    path: Optional[str] = None,
+):
+    """Rows = samples, columns = batch keys (HR, LR conditions, geo, sdf) with
+    per-key colormaps (reference plot_samples, utils.py:1206-1404)."""
+    keys = []
+    hr_key = f"{hr_var}_hr"
+    if hr_key in batch:
+        keys.append(hr_key)
+    keys += sorted(k for k in batch if k.endswith("_lr"))
+    keys += [k for k in ("lsm", "topo", "sdf") if k in batch]
+    if not keys:
+        raise ValueError("no plottable keys in batch")
+    n = min(n_samples, len(np.asarray(batch[keys[0]])))
+    fig, axes = plt.subplots(
+        n, len(keys), figsize=(2.4 * len(keys), 2.4 * n), squeeze=False
+    )
+    for c, key in enumerate(keys):
+        data = np.asarray(batch[key])
+        base = key.replace("_hr", "").replace("_lr", "")
+        cmap = _GRID_CMAPS.get(base) or cmap_for(base)
+        for r in range(n):
+            img = _squeeze_geo(data[min(r, data.shape[0] - 1)])
+            axes[r][c].imshow(np.asarray(img).squeeze(), cmap=cmap)
+            if r == 0:
+                axes[r][c].set_title(key, fontsize=9)
+            axes[r][c].set_xticks([])
+            axes[r][c].set_yticks([])
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
 def plot_losses(history: Dict, path: Optional[str] = None):
     """Train/val loss curves (reference training.py:486-499)."""
     fig, ax = plt.subplots(figsize=(6, 4))

@@ -325,3 +325,72 @@ def test_aggregate_stream_rejects_out_of_order_periods():
     items = zip(fields, [jan, feb, jan])
     with pytest.raises(ValueError, match="reappeared"):
         list(aggregate_stream(items, "monthly", "mean"))
+
+
+class TestReferenceFigureParity:
+    """The remaining reference figure variants (evaluation.py:266-369 and
+    utils.py:1206-1404) restored: pooled pixel histograms, per-pixel RMSE/MAE
+    histograms, and the batch grid (rows=samples, cols=keys)."""
+
+    def test_pixel_figures_written(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from sbgm_danra_tpu.utils.plotting import (
+            plot_error_histograms, plot_pixel_histograms,
+        )
+
+        rng = np.random.default_rng(0)
+        gen, ref = rng.normal(size=400), rng.normal(size=400)
+        p1 = str(tmp_path / "pixel_hist.png")
+        p2 = str(tmp_path / "err_hist.png")
+        plot_pixel_histograms(gen, ref, "mm", path=p1)
+        plot_error_histograms(np.abs(gen - ref), np.abs(gen - ref), path=p2)
+        assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+    def test_plot_batch_grid(self, tmp_path):
+        from sbgm_danra_tpu.utils.plotting import plot_batch_grid
+
+        rng = np.random.default_rng(1)
+        batch = {
+            "prcp_hr": rng.normal(size=(4, 16, 16, 1)),
+            "temp_lr": rng.normal(size=(4, 16, 16, 1)),
+            "prcp_lr": rng.normal(size=(4, 16, 16, 1)),
+            "lsm": (rng.random(size=(4, 16, 16, 1)) > 0.5).astype(np.float32),
+            "sdf": rng.random(size=(4, 16, 16, 1)),
+        }
+        path = str(tmp_path / "grid.png")
+        plot_batch_grid(batch, hr_var="prcp", n_samples=3, path=path)
+        assert os.path.getsize(path) > 0
+
+    def test_full_pixel_statistics_writes_figures(self, tmp_path):
+        """Evaluation --mode evaluate figure parity, pinned on fabricated
+        artifacts in the SampleGenerator layout."""
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.evaluate.evaluation import Evaluation
+        from sbgm_danra_tpu.utils.naming import get_model_string
+
+        cfg = from_dict(
+            {
+                "paths": {"sample_dir": str(tmp_path)},
+                "highres": {"variable": "prcp"},
+                "lowres": {"condition_variables": ["temp"], "scaling_methods": ["zscore"]},
+                "evaluation": {"n_repeats": 6},
+            }
+        )
+        rng = np.random.default_rng(0)
+        sample_path = os.path.join(
+            str(tmp_path), "generation", get_model_string(cfg), "generated_samples"
+        )
+        os.makedirs(sample_path, exist_ok=True)
+        truth = rng.normal(size=(1, 16, 16))
+        members = truth + rng.normal(0, 0.3, size=(6, 16, 16))
+        np.savez_compressed(os.path.join(sample_path, "gen_samples_repeated_6.npz"), members)
+        np.savez_compressed(os.path.join(sample_path, "eval_samples_repeated_6.npz"), truth)
+
+        ev = Evaluation(cfg, generated_sample_type="repeated", n_samples=6)
+        stats = ev.full_pixel_statistics(save_stats=False, save_figs=True)
+        assert stats["mae_all"].shape == (6 * 16 * 16,)
+        for name in ("pixel_hist_repeated.png", "rmse_mae_hist_repeated.png"):
+            f = os.path.join(ev.fig_path, name)
+            assert os.path.exists(f) and os.path.getsize(f) > 0
