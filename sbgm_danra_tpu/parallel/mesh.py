@@ -25,21 +25,47 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def initialize_distributed() -> int:
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
     """Multi-host bring-up: jax.distributed.initialize() when launched under a
-    multi-host environment (SLURM/TPU pod metadata auto-detected by JAX).
+    multi-host environment (SLURM/TPU pod metadata auto-detected by JAX), or
+    with explicit coordinator parameters (read from COORDINATOR_ADDRESS /
+    NUM_PROCESSES / PROCESS_ID env vars when not passed — the generic launcher
+    contract for non-SLURM clusters).
 
     Returns the process count. Call once before make_mesh on pods; single-host
     runs detect nothing and return 1 — the same code path everywhere.
     """
     import os
 
-    already_multi = jax.process_count() > 1
-    wants_multi = any(
-        v in os.environ for v in ("SLURM_NTASKS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+
+    wants_multi = coordinator_address is not None or any(
+        v in os.environ for v in ("SLURM_NTASKS", "MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if not already_multi and wants_multi:
-        jax.distributed.initialize()
+    if wants_multi:
+        # No backend-touching queries before this point: jax.process_count()
+        # would itself initialize XLA and make initialize() impossible.
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            # already initialized (second call, or a pre-initialized backend)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize skipped: %s", e
+            )
     return jax.process_count()
 
 

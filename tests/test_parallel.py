@@ -5,6 +5,7 @@ code that runs on a TPU slice runs here on 8 CPU devices, so data-parallel
 gradients, sharded batches, and member-sharded ensembles are all exercised.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -259,3 +260,170 @@ class TestEnsemblePadding:
         ))
         assert arr.mean() == pytest.approx(unsharded.mean(), abs=0.4)
         assert arr.std() == pytest.approx(unsharded.std(), rel=0.15)
+
+
+class TestTwoDMesh:
+    """DPxTP ('data','model') mesh through the tp partition rules
+    (VERDICT round-1 item 4b)."""
+
+    def _setup(self, mesh_shape, tp):
+        import __graft_entry__ as ge
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.parallel.mesh import make_mesh
+        from sbgm_danra_tpu.parallel.train import make_parallel_steps
+        from sbgm_danra_tpu.training.state import create_train_state
+
+        mesh = make_mesh(mesh_shape)
+        model, sde, make_batch = ge._flagship(size=32, tiny=True)
+        cfg = from_dict({"training": {"batch_size": 8, "learning_rate": 1e-3,
+                                      "with_ema": True}})
+        batch = make_batch(8)
+        batch.pop("t")
+        state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+        steps = make_parallel_steps(model, sde, cfg, state, mesh, tp=tp)
+        return steps, batch
+
+    def test_dp_tp_matches_flat_dp(self, devices):
+        (t_dp, e_dp, s_dp, sh_dp), batch = self._setup({"data": 8}, tp=False)
+        (t_tp, e_tp, s_tp, sh_tp), _ = self._setup({"data": 4, "model": 2}, tp=True)
+        b_dp = jax.tree.map(lambda x: jax.device_put(x, sh_dp), batch)
+        b_tp = jax.tree.map(lambda x: jax.device_put(x, sh_tp), batch)
+        ref = float(e_dp(s_dp, b_dp, jax.random.PRNGKey(2))["loss"])
+        got = float(e_tp(s_tp, b_tp, jax.random.PRNGKey(2))["loss"])
+        assert got == pytest.approx(ref, rel=1e-3)
+        # and the TP step actually steps
+        s_tp, m = t_tp(s_tp, b_tp, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_tp_state_is_actually_sharded(self, devices):
+        """At production widths the model-axis sharding must engage (the tiny
+        test model is below MIN_SHARD_CHANNELS for most kernels)."""
+        from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+        from sbgm_danra_tpu.parallel.mesh import make_mesh
+        from sbgm_danra_tpu.parallel.tp import shard_params, sharded_param_fraction
+        from sbgm_danra_tpu.sde import VESDE
+
+        mesh = make_mesh({"data": 4, "model": 2})
+        spec = ModelSpec(in_channels=6, num_classes=4, last_fmap_channels=512,
+                         time_embedding=64, num_heads=2, block_layers=(1, 1, 1, 1))
+        model = build_score_model(spec, VESDE())
+        b = {
+            "x": jnp.zeros((1, 32, 32, 1)), "t": jnp.full((1,), 0.5),
+            "y": jnp.zeros((1,), jnp.int32), "cond_img": jnp.zeros((1, 32, 32, 2)),
+            "lsm_cond": jnp.zeros((1, 32, 32, 2)), "topo_cond": jnp.zeros((1, 32, 32, 2)),
+        }
+        params = model.init({"params": jax.random.PRNGKey(0)}, **b, train=False)["params"]
+        frac = sharded_param_fraction(params, mesh)
+        assert frac > 0.5, f"only {frac:.2%} of param bytes sharded"
+        sharded = shard_params(params, mesh)
+        from jax.sharding import PartitionSpec as P
+        n_model_sharded = sum(
+            1 for leaf in jax.tree.leaves(sharded)
+            if "model" in str(leaf.sharding.spec)
+        )
+        assert n_model_sharded > 10
+
+
+class TestBigGridTraining:
+    """Full-domain-scale remat'd DP training steps (VERDICT round-1 item 4a)."""
+
+    def _run_step(self, H, W):
+        import __graft_entry__ as ge
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+        from sbgm_danra_tpu.parallel.mesh import make_mesh
+        from sbgm_danra_tpu.parallel.train import make_parallel_steps
+        from sbgm_danra_tpu.sde import VESDE
+        from sbgm_danra_tpu.training.state import create_train_state
+
+        spec = ModelSpec(in_channels=6, num_classes=4, last_fmap_channels=32,
+                         time_embedding=16, num_heads=2, block_layers=(1, 1, 1, 1))
+        sde = VESDE()
+        model = build_score_model(spec, sde)
+        rng = np.random.default_rng(0)
+        b = 8
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(b, H, W, 1)).astype(np.float32)),
+            "y": jnp.zeros((b,), jnp.int32),
+            "cond_img": jnp.asarray(rng.normal(size=(b, H, W, 2)).astype(np.float32)),
+            "lsm_cond": jnp.asarray(rng.normal(size=(b, H, W, 2)).astype(np.float32)),
+            "topo_cond": jnp.asarray(rng.normal(size=(b, H, W, 2)).astype(np.float32)),
+        }
+        cfg = from_dict({"training": {"batch_size": b, "learning_rate": 1e-3,
+                                      "with_ema": True, "remat": True}})
+        mesh = make_mesh({"data": 8})
+        state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+        train_step, _, state, batch_sh = make_parallel_steps(model, sde, cfg, state, mesh)
+        sharded = jax.tree.map(lambda x: jax.device_put(x, batch_sh), batch)
+        state, metrics = train_step(state, sharded, jax.random.PRNGKey(1))
+        return float(metrics["loss"])
+
+    def test_big_grid_remat_step(self, devices):
+        """320x416 (half the padded DANRA domain per side) remat'd DP step."""
+        assert np.isfinite(self._run_step(320, 416))
+
+    @pytest.mark.skipif(
+        not os.environ.get("SBGM_BIG_TESTS"),
+        reason="640x832 on the CPU mesh takes ~6 min; set SBGM_BIG_TESTS=1",
+    )
+    def test_full_domain_remat_step(self, devices):
+        """The full padded 640x832 DANRA domain actually steps (measured green
+        2026-08-16; kept env-gated for suite runtime)."""
+        assert np.isfinite(self._run_step(640, 832))
+
+
+class TestMultiHostInit:
+    def test_two_process_distributed_init(self, tmp_path):
+        """2-process jax.distributed.initialize CPU smoke: 8 global devices
+        across 2 processes, cross-process global reduction via a pjit sum
+        (VERDICT round-1 item 4c)."""
+        import subprocess
+        import sys
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np\n"
+            "import jax.numpy as jnp\n"
+            "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+            "from sbgm_danra_tpu.parallel.mesh import initialize_distributed, make_mesh\n"
+            "n = initialize_distributed()\n"
+            "assert n == 2, n\n"
+            "assert jax.device_count() == 8, jax.device_count()\n"
+            "assert jax.local_device_count() == 4\n"
+            "mesh = make_mesh({'data': 8})\n"
+            "sharding = NamedSharding(mesh, P('data'))\n"
+            "pid = jax.process_index()\n"
+            "local = np.arange(4, dtype=np.float32) + 4 * pid\n"
+            "g = jax.make_array_from_process_local_data(sharding, local, global_shape=(8,))\n"
+            "total = jax.jit(jnp.sum)(g)\n"
+            "assert float(total) == 28.0, float(total)\n"
+            "print(f'proc {pid}: OK', flush=True)\n"
+        )
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = []
+        for pid in range(2):
+            env = os.environ.copy()
+            env.pop("PALLAS_AXON_POOL_IPS", None)  # no axon boot in workers
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "COORDINATOR_ADDRESS": f"localhost:{port}",
+                "NUM_PROCESSES": "2",
+                "PROCESS_ID": str(pid),
+                "PYTHONPATH": root + ":" + env.get("PYTHONPATH", ""),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)], env=env, cwd=root,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+            assert "OK" in out

@@ -75,7 +75,11 @@ class TestSDFWeights:
         w = np.asarray(sdf_weights(sdf, sdf))
         assert w.min() >= 0.5 and w.max() <= 1.0
         # sigmoid(0) = 0.5 -> weight 0.75 at the coastline.
-        mid = float(np.asarray(sdf_weights(jnp.zeros((1, 1, 1, 1)), jnp.zeros((1, 1, 1, 1)))))
+        mid = float(
+            np.asarray(
+                sdf_weights(jnp.zeros((1, 1, 1, 1)), jnp.zeros((1, 1, 1, 1)))
+            ).item()
+        )
         assert mid == pytest.approx(0.75)
 
 
