@@ -64,6 +64,10 @@ class Encoder(nn.Module):
     attention_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    # number of coarsest stages with self-attention: 2 = reference current
+    # (:393-397), 5 = the reference's OLD all-stages revision (docs/PARAMS.md),
+    # 0 = none (ablation / perf probes)
+    attn_stages: int = 2
 
     @nn.compact
     def __call__(
@@ -124,8 +128,9 @@ class Encoder(nn.Module):
             return fmap + proj[:, None, None, :].astype(fmap.dtype)
 
         def maybe_attend(fmap: Array, idx: int) -> Array:
-            # Attention only on the two coarsest stages (reference :393-397).
-            if idx >= n_maps - 2:
+            # Attention only on the ``attn_stages`` coarsest stages
+            # (reference :393-397 has 2).
+            if idx >= n_maps - self.attn_stages:
                 return SpatialSelfAttention(
                     fmap.shape[-1],
                     self.n_heads,
@@ -303,6 +308,8 @@ class Decoder(nn.Module):
     activation: str = "relu"
     attention_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
+    # residual blocks nearest the bottleneck that attend (reference :780 has 2)
+    attn_blocks: int = 2
 
     @nn.compact
     def __call__(self, fmaps: Sequence[Array], t: Optional[Array] = None) -> Array:
@@ -319,9 +326,9 @@ class Decoder(nn.Module):
                 output_channels=out_ch,
                 time_embedding=self.time_embedding,
                 activation=self.activation,
-                # Attention only on the two blocks nearest the bottleneck
+                # Attention only on the blocks nearest the bottleneck
                 # (reference :780 — larger maps are "very expensive").
-                compute_attn=(i < 2),
+                compute_attn=(i < self.attn_blocks),
                 n_heads=self.n_heads,
                 use_resize_conv=self.use_resize_conv,
                 norm=self.norm,
@@ -398,6 +405,8 @@ class ModelSpec:
     attention_backend: str = "xla"
     compute_dtype: str = "float32"
     bn_axis_name: Optional[str] = None
+    encoder_attn_stages: int = 2
+    decoder_attn_blocks: int = 2
 
 
 def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
@@ -424,6 +433,7 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
         attention_backend=spec.attention_backend,
         compute_dtype=dtype,
         bn_axis_name=spec.bn_axis_name,
+        attn_stages=spec.encoder_attn_stages,
     )
     decoder = Decoder(
         last_fmap_channels=spec.last_fmap_channels,
@@ -437,6 +447,7 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
         activation=spec.decoder_activation,
         attention_backend=spec.attention_backend,
         compute_dtype=dtype,
+        attn_blocks=spec.decoder_attn_blocks,
     )
     return ScoreUNet(
         marginal_prob_std=sde.marginal_prob_std, encoder=encoder, decoder=decoder

@@ -1,0 +1,202 @@
+"""Sampler perf probe: per-forward timing of the guided score evaluation on
+the real chip, with stage-level splits and an XLA-flag A/B hook.
+
+Usage:
+  python scripts/perf_probe.py forward          # guided forward @ batch 26
+  python scripts/perf_probe.py stages           # encoder/decoder split
+  python scripts/perf_probe.py scan             # 30-step PC scan (bench tie-in)
+XLA_FLAGS in the environment apply (set before launch; compile cache is keyed
+by flags so each variant compiles once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 26  # CFG-doubled member batch (13 members/chip)
+SIZE = 128
+
+
+def setup():
+    from bench import _sampling_setup
+
+    return _sampling_setup(13, SIZE, 3.0)
+
+
+def _time(fn, *args, n=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    dts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / n)
+    return min(dts)
+
+
+def probe_forward():
+    sde, cond, score_fn = setup()
+    double = {k: jnp.concatenate([v, v], axis=0) for k, v in cond.items()}
+    x = jnp.zeros((BATCH, SIZE, SIZE, 1))
+    t = jnp.full((BATCH,), 0.5)
+    fwd = jax.jit(lambda x, t: score_fn(x, t, **double))
+    dt = _time(fwd, x, t)
+    cost = fwd.lower(x, t).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0))
+    bytes_ = float(cost.get("bytes accessed", 0))
+    print(json.dumps({
+        "probe": "forward", "ms": round(dt * 1e3, 3),
+        "gflops": round(flops / 1e9, 1), "gbytes": round(bytes_ / 1e9, 3),
+        "eff_gbps": round(bytes_ / dt / 1e9, 1),
+        "tflops": round(flops / dt / 1e12, 1),
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+    }))
+
+
+def probe_stages():
+    """Time encoder alone and full model; decoder = difference (plus overlap
+    error, but good enough to locate the traffic)."""
+    from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+    from sbgm_danra_tpu.sde import VESDE
+
+    spec = ModelSpec(in_channels=6, num_classes=4, compute_dtype="bfloat16")
+    model = build_score_model(spec, VESDE())
+    rng = np.random.default_rng(0)
+    b = BATCH
+    kw = dict(
+        x=jnp.zeros((b, SIZE, SIZE, 1)),
+        t=jnp.full((b,), 0.5),
+        y=jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
+        cond_img=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        lsm_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        topo_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kw, train=False)
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
+        variables,
+    )
+
+    enc = model.encoder
+
+    def enc_fn(v, x, t):
+        sub = {
+            col: v[col]["encoder"] for col in v if "encoder" in v[col]
+        }
+        return enc.apply(
+            sub, x, t, y=kw["y"], cond_img=kw["cond_img"], lsm_cond=kw["lsm_cond"],
+            topo_cond=kw["topo_cond"], train=False,
+        )
+
+    def full_fn(v, x, t):
+        return model.apply(v, x, t, y=kw["y"], cond_img=kw["cond_img"],
+                           lsm_cond=kw["lsm_cond"], topo_cond=kw["topo_cond"], train=False)
+
+    x, t = kw["x"], kw["t"]
+    je = jax.jit(enc_fn)
+    jf = jax.jit(full_fn)
+    dt_enc = _time(je, variables, x, t)
+    dt_full = _time(jf, variables, x, t)
+    rows = {"encoder_ms": round(dt_enc * 1e3, 3),
+            "full_ms": round(dt_full * 1e3, 3),
+            "decoder_ms_approx": round((dt_full - dt_enc) * 1e3, 3)}
+    # per-fmap cost of the encoder
+    ce = je.lower(variables, x, t).compile().cost_analysis()
+    if isinstance(ce, (list, tuple)):
+        ce = ce[0]
+    rows["encoder_gbytes"] = round(float(ce.get("bytes accessed", 0)) / 1e9, 3)
+    print(json.dumps({"probe": "stages", **rows}))
+
+
+def probe_scan():
+    from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
+
+    sde, cond, score_fn = setup()
+    config = SamplerConfig(num_steps=30, guidance_scale=3.0)
+    run = jax.jit(lambda rng: pc_sampler(score_fn, rng, (13, SIZE, SIZE, 1), sde, config, cond=cond))
+    compiled = run.lower(jax.random.PRNGKey(0)).compile()
+    compiled(jax.random.PRNGKey(0)).block_until_ready()
+    dts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        compiled(jax.random.PRNGKey(i)).block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    print(json.dumps({
+        "probe": "scan", "steps_per_sec": round(30 / dt, 2),
+        "ms_per_step": round(dt / 30 * 1e3, 3),
+        "ms_per_forward": round(dt / 60 * 1e3, 3),
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+    }))
+
+
+def probe_noattn():
+    """Forward without any attention: bounds attention's share of the 4.1 ms."""
+    from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+    from sbgm_danra_tpu.sde import VESDE
+
+    spec = ModelSpec(in_channels=6, num_classes=4, compute_dtype="bfloat16",
+                     encoder_attn_stages=0, decoder_attn_blocks=0)
+    model = build_score_model(spec, VESDE())
+    rng = np.random.default_rng(0)
+    b = BATCH
+    kw = dict(
+        x=jnp.zeros((b, SIZE, SIZE, 1)),
+        t=jnp.full((b,), 0.5),
+        y=jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
+        cond_img=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        lsm_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        topo_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kw, train=False)
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
+        variables,
+    )
+    fwd = jax.jit(lambda x, t: model.apply(variables, x, t, y=kw["y"],
+                                           cond_img=kw["cond_img"], lsm_cond=kw["lsm_cond"],
+                                           topo_cond=kw["topo_cond"], train=False))
+    dt = _time(fwd, kw["x"], kw["t"])
+    cost = fwd.lower(kw["x"], kw["t"]).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    print(json.dumps({
+        "probe": "noattn", "ms": round(dt * 1e3, 3),
+        "gbytes": round(float(cost.get("bytes accessed", 0)) / 1e9, 3),
+    }))
+
+
+def probe_dump():
+    """Write the compiled HLO of the guided forward to /tmp/fwd_hlo.txt."""
+    sde, cond, score_fn = setup()
+    double = {k: jnp.concatenate([v, v], axis=0) for k, v in cond.items()}
+    x = jnp.zeros((BATCH, SIZE, SIZE, 1))
+    t = jnp.full((BATCH,), 0.5)
+    fwd = jax.jit(lambda x, t: score_fn(x, t, **double))
+    txt = fwd.lower(x, t).compile().as_text()
+    with open("/tmp/fwd_hlo.txt", "w") as f:
+        f.write(txt)
+    print(json.dumps({"probe": "dump", "chars": len(txt)}))
+
+
+if __name__ == "__main__":
+    {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
+     "noattn": probe_noattn, "dump": probe_dump}[sys.argv[1]]()

@@ -400,3 +400,36 @@ class TestRK45Convergence:
         np.testing.assert_allclose(
             np.asarray(x), np.exp(1.0 - 1e-3) * np.ones_like(x0), rtol=1e-3
         )
+
+
+class TestQualityStudy:
+    """Exact-score sampler quality machinery (scripts/edm_quality_study.py)."""
+
+    def test_regime_scores_and_truth(self):
+        from sbgm_danra_tpu.evaluate.quality_study import (
+            bimodal_regime, correlated_regime, gaussian_regime,
+        )
+
+        for regime in (gaussian_regime(), bimodal_regime(), correlated_regime(size=8)):
+            x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+            t = jnp.full((4,), 0.5)
+            s = regime.score_fn(x, t)
+            assert s.shape == x.shape and np.isfinite(np.asarray(s)).all()
+            draws = np.asarray(regime.sample_truth(jax.random.PRNGKey(1), (2048, 8, 8, 1)))
+            assert draws.mean() == pytest.approx(regime.mean, abs=0.15)
+            assert draws.std() == pytest.approx(regime.std, rel=0.1)
+
+    def test_edm_matches_pc_on_unimodal(self):
+        """The decision invariant for the fast path: EDM-35's CRPS within 5%
+        of PC's on the exact-score unimodal regime (BASELINE.md table)."""
+        from sbgm_danra_tpu.evaluate.quality_study import gaussian_regime, run_study
+
+        grid = (
+            {"label": "pc", "sampler": "pc_sampler", "num_steps": 200, "nfe": 400},
+            {"label": "edm", "sampler": "edm_sampler", "num_steps": 35, "nfe": 68},
+        )
+        res = run_study(n_members=32, size=8, n_truths=32, seed=0,
+                        sampler_grid=grid, regimes=(gaussian_regime(),))
+        row = res["unimodal"]
+        assert row["edm"]["crps"] == pytest.approx(row["pc"]["crps"], rel=0.05)
+        assert row["edm"]["std_ratio"] == pytest.approx(1.0, abs=0.1)
