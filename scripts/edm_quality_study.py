@@ -13,6 +13,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CPU-only workload (tiny fields, exact scores) — never contend for the TPU.
+# The session sitecustomize pins the axon platform imperatively, so the env
+# var alone is not enough (CLAUDE.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from sbgm_danra_tpu.evaluate.quality_study import format_table, run_study
 
 

@@ -184,6 +184,99 @@ def probe_noattn():
     }))
 
 
+def _flagship_vars():
+    from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
+    from sbgm_danra_tpu.sde import VESDE
+
+    spec = ModelSpec(in_channels=6, num_classes=4, compute_dtype="bfloat16")
+    model = build_score_model(spec, VESDE())
+    rng = np.random.default_rng(0)
+    b = BATCH
+    kw = dict(
+        x=jnp.zeros((b, SIZE, SIZE, 1)),
+        t=jnp.full((b,), 0.5),
+        y=jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
+        cond_img=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        lsm_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+        topo_cond=jnp.asarray(rng.normal(size=(b, SIZE, SIZE, 2)).astype(np.float32)),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kw, train=False)
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
+        variables,
+    )
+    return model, variables, kw
+
+
+def probe_parts():
+    """Per-component timings: stems, resnet stages, each decoder block, and the
+    upsample op in isolation — locates the roofline gap op-by-op."""
+    import flax.linen as nn
+    from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+    model, variables, kw = _flagship_vars()
+    rows = {}
+    b = BATCH
+    dt16 = jnp.bfloat16
+
+    # 8x8/s2 stem convs at their real shapes
+    def conv8(cin, cout, hw, name):
+        conv = nn.Conv(cout, (8, 8), strides=(2, 2), padding=((3, 3), (3, 3)),
+                       use_bias=False, dtype=dt16)
+        x = jnp.zeros((b, hw, hw, cin), dt16)
+        v = conv.init(jax.random.PRNGKey(0), x)
+        v = jax.tree.map(lambda p: p.astype(dt16), v)
+        f = jax.jit(lambda x: conv.apply(v, x))
+        rows[name] = round(_time(f, x) * 1e3, 3)
+
+    conv8(8, 64, SIZE, "conv1_8x8_ms")   # concat input is 8ch (1+2+2+2 pad? real: 1+2+2+2=7 -> measure 8)
+    conv8(64, 64, SIZE // 2, "conv2_8x8_ms")
+
+    # resnet stages at real shapes
+    from sbgm_danra_tpu.models.resnet import ResNetStage
+    for i, (c_in, c_out, hw, stride) in enumerate(
+        [(64, 64, 32, 1), (64, 128, 32, 2), (128, 256, 16, 2), (256, 512, 8, 2)]
+    ):
+        st = ResNetStage(c_out, 2, stride=stride, dtype=dt16)
+        x = jnp.zeros((b, hw, hw, c_in), dt16)
+        v = st.init(jax.random.PRNGKey(0), x, False)
+        v = jax.tree.map(
+            lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
+        f = jax.jit(lambda x: st.apply(v, x, False))
+        rows[f"layer{i+1}_ms"] = round(_time(f, x) * 1e3, 3)
+
+    # upsample alone at the two finest shapes
+    for hw, c in [(32, 64), (64, 64)]:
+        x = jnp.zeros((b, hw, hw, c), dt16)
+        f = jax.jit(upsample2x_bilinear)
+        rows[f"up2x_{hw}x{hw}x{c}_ms"] = round(_time(f, x) * 1e3, 3)
+
+    # each decoder block at its real shape (C -> C/2 pattern of the flagship)
+    from sbgm_danra_tpu.models.unet import DecoderBlock
+    shapes = [(4, 512, 256), (8, 256, 128), (16, 128, 64), (32, 64, 64)]
+    for i, (hw, cin, cout) in enumerate(shapes):
+        blk = DecoderBlock(output_channels=cout, compute_attn=(i < 2), norm="group",
+                           activation="silu", compute_dtype=dt16)
+        x = jnp.zeros((b, hw, hw, cin), dt16)
+        skip = jnp.zeros((b, hw * 2, hw * 2, cout), dt16)
+        t = jnp.full((b,), 0.5)
+        v = blk.init(jax.random.PRNGKey(0), x, skip, t)
+        v = jax.tree.map(
+            lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
+        f = jax.jit(lambda x, skip, t: blk.apply(v, x, skip, t))
+        rows[f"dec_block{i}_ms"] = round(_time(f, x, skip, t) * 1e3, 3)
+    # final block: 64x64x64 -> 128x128x1, no norm/act/t
+    blk = DecoderBlock(output_channels=1, compute_attn=False, norm="none",
+                       activation="identity", compute_dtype=dt16)
+    x = jnp.zeros((b, 64, 64, 64), dt16)
+    v = blk.init(jax.random.PRNGKey(0), x, None, None)
+    v = jax.tree.map(
+        lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
+    f = jax.jit(lambda x: blk.apply(v, x, None, None))
+    rows["dec_final_ms"] = round(_time(f, x) * 1e3, 3)
+    print(json.dumps({"probe": "parts", **rows}))
+
+
 def probe_dump():
     """Write the compiled HLO of the guided forward to /tmp/fwd_hlo.txt."""
     sde, cond, score_fn = setup()
@@ -199,4 +292,4 @@ def probe_dump():
 
 if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
-     "noattn": probe_noattn, "dump": probe_dump}[sys.argv[1]]()
+     "noattn": probe_noattn, "parts": probe_parts, "dump": probe_dump}[sys.argv[1]]()
