@@ -53,6 +53,61 @@ def _time_projection(temb: Array, features: int, name: str, dtype=jnp.float32) -
     return nn.Dense(features, dtype=dtype, name=name)(nn.silu(temb))
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact param tree (same names, shapes,
+    inits, and module path => identical checkpoint layout and init values) for
+    layers whose forward is computed by a custom op instead of nn.Conv."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class Stride2Conv8(nn.Module):
+    """torch Conv2d(k=8, s=2, p=3, bias=False) stem (reference :206-219).
+
+    ``impl='s2d'`` computes the identical map as a space-to-depth 4x4 stride-1
+    conv (ops/stem_conv.py) — the large-kernel strided conv is the encoder's
+    bandwidth sink on TPU. Param tree matches nn.Conv, so checkpoints are
+    interchangeable across impls.
+    """
+
+    features: int
+    impl: str = "direct"  # 'direct' | 's2d'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from sbgm_danra_tpu.ops.stem_conv import conv8x8s2_direct, conv8x8s2_s2d
+
+        # param lives at THIS module's path, named like nn.Conv's ("kernel")
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (8, 8, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        fn = conv8x8s2_s2d if self.impl == "s2d" else conv8x8s2_direct
+        return fn(x, kernel)
+
+
 class Encoder(nn.Module):
     """ResNet-backbone encoder returning 5 feature maps (reference :151-404)."""
 
@@ -68,6 +123,9 @@ class Encoder(nn.Module):
     # (:393-397), 5 = the reference's OLD all-stages revision (docs/PARAMS.md),
     # 0 = none (ablation / perf probes)
     attn_stages: int = 2
+    # stem lowering: 'direct' (one strided conv) | 's2d' (space-to-depth,
+    # measured faster on v5e — scripts/perf_probe.py cand); same params
+    stem_impl: str = "direct"
 
     @nn.compact
     def __call__(
@@ -113,15 +171,7 @@ class Encoder(nn.Module):
 
         def stride2_conv8(features: int, name: str):
             # torch Conv2d(k=8, s=2, p=3, bias=False) geometry (reference :206-219).
-            return nn.Conv(
-                features,
-                kernel_size=(8, 8),
-                strides=(2, 2),
-                padding=((3, 3), (3, 3)),
-                use_bias=False,
-                dtype=dtype,
-                name=name,
-            )
+            return Stride2Conv8(features, impl=self.stem_impl, dtype=dtype, name=name)
 
         def add_temb(fmap: Array, idx: int) -> Array:
             proj = _time_projection(temb, fmap.shape[-1], f"time_proj{idx}", dtype)
@@ -210,6 +260,10 @@ class DecoderBlock(nn.Module):
     gn_groups: int = 8
     attention_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
+    # 'none' keeps the two-op chain; 'dilated'/'phases' compute the identical
+    # upsample+conv as ONE convolution (ops/fused_upsample.py), skipping the
+    # doubled-resolution intermediate's HBM round-trip. Params are unchanged.
+    fuse_upsample: str = "none"
 
     @nn.compact
     def __call__(
@@ -221,26 +275,40 @@ class DecoderBlock(nn.Module):
         dtype = self.compute_dtype
         b, h, w, c = fmap.shape
         if self.use_resize_conv:
-            if self.upsample_scale == 2:
-                # exact bilinear as a depthwise dilated conv — the gather-based
-                # jax.image.resize lowering is the slow path on TPU
-                from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
-
-                x = upsample2x_bilinear(fmap)
-            else:
-                x = jax.image.resize(
-                    fmap,
-                    (b, h * self.upsample_scale, w * self.upsample_scale, c),
-                    method="bilinear",
+            if self.fuse_upsample != "none" and self.upsample_scale == 2:
+                from sbgm_danra_tpu.ops.fused_upsample import (
+                    fused_upsample_conv_dilated,
+                    fused_upsample_conv_phases,
                 )
-            x = nn.Conv(
-                c,
-                kernel_size=(3, 3),
-                padding=((1, 1), (1, 1)),
-                use_bias=True,
-                dtype=dtype,
-                name="conv_up",
-            )(x)
+
+                kernel, bias = _ConvParams(c, (3, 3), name="conv_up")(c)
+                fused = (
+                    fused_upsample_conv_phases
+                    if self.fuse_upsample == "phases"
+                    else fused_upsample_conv_dilated
+                )
+                x = fused(fmap.astype(dtype), kernel.astype(dtype), bias.astype(dtype))
+            else:
+                if self.upsample_scale == 2:
+                    # exact bilinear as a depthwise dilated conv — the
+                    # gather-based jax.image.resize lowering is the slow path
+                    from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+                    x = upsample2x_bilinear(fmap)
+                else:
+                    x = jax.image.resize(
+                        fmap,
+                        (b, h * self.upsample_scale, w * self.upsample_scale, c),
+                        method="bilinear",
+                    )
+                x = nn.Conv(
+                    c,
+                    kernel_size=(3, 3),
+                    padding=((1, 1), (1, 1)),
+                    use_bias=True,
+                    dtype=dtype,
+                    name="conv_up",
+                )(x)
         else:
             x = nn.ConvTranspose(
                 c,
@@ -310,6 +378,7 @@ class Decoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     # residual blocks nearest the bottleneck that attend (reference :780 has 2)
     attn_blocks: int = 2
+    fuse_upsample: str = "none"  # see DecoderBlock.fuse_upsample
 
     @nn.compact
     def __call__(self, fmaps: Sequence[Array], t: Optional[Array] = None) -> Array:
@@ -335,6 +404,7 @@ class Decoder(nn.Module):
                 gn_groups=self.gn_groups,
                 attention_backend=self.attention_backend,
                 compute_dtype=self.compute_dtype,
+                fuse_upsample=self.fuse_upsample,
                 name=f"block{i}",
             )(out, rev[i + 1], t)
             in_ch = out_ch
@@ -351,6 +421,7 @@ class Decoder(nn.Module):
             gn_groups=self.gn_groups,
             attention_backend=self.attention_backend,
             compute_dtype=self.compute_dtype,
+            fuse_upsample=self.fuse_upsample,
             name="final",
         )(out, None, None)
         return out
@@ -407,6 +478,10 @@ class ModelSpec:
     bn_axis_name: Optional[str] = None
     encoder_attn_stages: int = 2
     decoder_attn_blocks: int = 2
+    # perf lowering knobs (identical math + params, different XLA programs;
+    # measured winners on v5e are applied by inference_spec()):
+    stem_impl: str = "direct"  # 'direct' | 's2d'
+    fuse_upsample: str = "none"  # 'none' | 'dilated' | 'phases'
 
 
 def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
@@ -434,6 +509,7 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
         compute_dtype=dtype,
         bn_axis_name=spec.bn_axis_name,
         attn_stages=spec.encoder_attn_stages,
+        stem_impl=spec.stem_impl,
     )
     decoder = Decoder(
         last_fmap_channels=spec.last_fmap_channels,
@@ -448,6 +524,7 @@ def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
         attention_backend=spec.attention_backend,
         compute_dtype=dtype,
         attn_blocks=spec.decoder_attn_blocks,
+        fuse_upsample=spec.fuse_upsample,
     )
     return ScoreUNet(
         marginal_prob_std=sde.marginal_prob_std, encoder=encoder, decoder=decoder

@@ -208,28 +208,62 @@ def _flagship_vars():
     return model, variables, kw
 
 
+def _device_time(make_fn, make_input, k: int = 24):
+    """True device time of an op: lax.scan over k stacked independent inputs
+    inside ONE jitted program — sequential execution like the real model, all
+    outputs materialized (no DCE), a single tunnel dispatch+sync per window.
+    Returns best-of-5 window time divided by k (the ~1.3 ms dispatch is the
+    only bias, amortized k-fold)."""
+    fn = make_fn()
+    inputs = [make_input(i) for i in range(k)]
+    stacked = tuple(
+        jnp.stack([inp[j] for inp in inputs]) for j in range(len(inputs[0]))
+    )
+
+    def run(xs):
+        def body(carry, x):
+            return carry, fn(*x)
+
+        _, ys = jax.lax.scan(body, (), xs)
+        return ys
+
+    j = jax.jit(run)
+    out = j(stacked)
+    jax.block_until_ready(out)
+    dts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = j(stacked)
+        jax.block_until_ready(out)
+        dts.append(time.perf_counter() - t0)
+    return min(dts) / k
+
+
 def probe_parts():
     """Per-component timings: stems, resnet stages, each decoder block, and the
     upsample op in isolation — locates the roofline gap op-by-op."""
     import flax.linen as nn
     from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
 
-    model, variables, kw = _flagship_vars()
     rows = {}
     b = BATCH
     dt16 = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    def rand(shape, i, dtype=dt16):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dtype)
 
     # 8x8/s2 stem convs at their real shapes
     def conv8(cin, cout, hw, name):
         conv = nn.Conv(cout, (8, 8), strides=(2, 2), padding=((3, 3), (3, 3)),
                        use_bias=False, dtype=dt16)
-        x = jnp.zeros((b, hw, hw, cin), dt16)
-        v = conv.init(jax.random.PRNGKey(0), x)
+        v = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, cin), dt16))
         v = jax.tree.map(lambda p: p.astype(dt16), v)
-        f = jax.jit(lambda x: conv.apply(v, x))
-        rows[name] = round(_time(f, x) * 1e3, 3)
+        dt = _device_time(lambda: (lambda x: conv.apply(v, x)),
+                          lambda i: (rand((b, hw, hw, cin), i),), k=12)
+        rows[name] = round(dt * 1e3, 3)
 
-    conv8(8, 64, SIZE, "conv1_8x8_ms")   # concat input is 8ch (1+2+2+2 pad? real: 1+2+2+2=7 -> measure 8)
+    conv8(7, 64, SIZE, "conv1_8x8_ms")   # concat input: 1 + 2 + 2 + 2 channels
     conv8(64, 64, SIZE // 2, "conv2_8x8_ms")
 
     # resnet stages at real shapes
@@ -238,18 +272,18 @@ def probe_parts():
         [(64, 64, 32, 1), (64, 128, 32, 2), (128, 256, 16, 2), (256, 512, 8, 2)]
     ):
         st = ResNetStage(c_out, 2, stride=stride, dtype=dt16)
-        x = jnp.zeros((b, hw, hw, c_in), dt16)
-        v = st.init(jax.random.PRNGKey(0), x, False)
+        v = st.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, c_in), dt16), False)
         v = jax.tree.map(
             lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
-        f = jax.jit(lambda x: st.apply(v, x, False))
-        rows[f"layer{i+1}_ms"] = round(_time(f, x) * 1e3, 3)
+        dt = _device_time(lambda: (lambda x: st.apply(v, x, False)),
+                          lambda i: (rand((b, hw, hw, c_in), i),), k=12)
+        rows[f"layer{i+1}_ms"] = round(dt * 1e3, 3)
 
     # upsample alone at the two finest shapes
     for hw, c in [(32, 64), (64, 64)]:
-        x = jnp.zeros((b, hw, hw, c), dt16)
-        f = jax.jit(upsample2x_bilinear)
-        rows[f"up2x_{hw}x{hw}x{c}_ms"] = round(_time(f, x) * 1e3, 3)
+        dt = _device_time(lambda: upsample2x_bilinear,
+                          lambda i: (rand((b, hw, hw, c), i),), k=12)
+        rows[f"up2x_{hw}x{hw}x{c}_ms"] = round(dt * 1e3, 3)
 
     # each decoder block at its real shape (C -> C/2 pattern of the flagship)
     from sbgm_danra_tpu.models.unet import DecoderBlock
@@ -257,24 +291,72 @@ def probe_parts():
     for i, (hw, cin, cout) in enumerate(shapes):
         blk = DecoderBlock(output_channels=cout, compute_attn=(i < 2), norm="group",
                            activation="silu", compute_dtype=dt16)
-        x = jnp.zeros((b, hw, hw, cin), dt16)
-        skip = jnp.zeros((b, hw * 2, hw * 2, cout), dt16)
         t = jnp.full((b,), 0.5)
-        v = blk.init(jax.random.PRNGKey(0), x, skip, t)
+        v = blk.init(jax.random.PRNGKey(0), jnp.zeros((b, hw, hw, cin), dt16),
+                     jnp.zeros((b, hw * 2, hw * 2, cout), dt16), t)
         v = jax.tree.map(
             lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
-        f = jax.jit(lambda x, skip, t: blk.apply(v, x, skip, t))
-        rows[f"dec_block{i}_ms"] = round(_time(f, x, skip, t) * 1e3, 3)
+        dt = _device_time(
+            lambda: (lambda x, skip: blk.apply(v, x, skip, t)),
+            lambda i: (rand((b, hw, hw, cin), i), rand((b, hw * 2, hw * 2, cout), i)),
+            k=12,
+        )
+        rows[f"dec_block{i}_ms"] = round(dt * 1e3, 3)
     # final block: 64x64x64 -> 128x128x1, no norm/act/t
     blk = DecoderBlock(output_channels=1, compute_attn=False, norm="none",
                        activation="identity", compute_dtype=dt16)
-    x = jnp.zeros((b, 64, 64, 64), dt16)
-    v = blk.init(jax.random.PRNGKey(0), x, None, None)
+    v = blk.init(jax.random.PRNGKey(0), jnp.zeros((b, 64, 64, 64), dt16), None, None)
     v = jax.tree.map(
         lambda p: p.astype(dt16) if p.dtype == jnp.float32 and p.ndim >= 2 else p, v)
-    f = jax.jit(lambda x: blk.apply(v, x, None, None))
-    rows["dec_final_ms"] = round(_time(f, x) * 1e3, 3)
+    dt = _device_time(lambda: (lambda x: blk.apply(v, x, None, None)),
+                      lambda i: (rand((b, 64, 64, 64), i),), k=12)
+    rows["dec_final_ms"] = round(dt * 1e3, 3)
     print(json.dumps({"probe": "parts", **rows}))
+
+
+def probe_cand():
+    """A/B the optimization candidates at their real shapes: s2d vs direct
+    stems; fused (dilated / polyphase) vs unfused upsample+conv chains."""
+    from sbgm_danra_tpu.ops.fused_upsample import (
+        fused_upsample_conv_dilated,
+        fused_upsample_conv_phases,
+    )
+    from sbgm_danra_tpu.ops.stem_conv import conv8x8s2_direct, conv8x8s2_s2d
+    from sbgm_danra_tpu.ops.upsample import upsample2x_bilinear
+
+    rows = {}
+    b = BATCH
+    dt16 = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    def rand(shape, dtype=dt16):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dtype)
+
+    # stems
+    for name, cin, cout, hw in [("conv1", 7, 64, SIZE), ("conv2", 64, 64, SIZE // 2)]:
+        k8 = rand((8, 8, cin, cout))
+        for impl, fn in [("direct", conv8x8s2_direct), ("s2d", conv8x8s2_s2d)]:
+            dt = _device_time(lambda: (lambda x: fn(x, k8)),
+                              lambda i: (rand((b, hw, hw, cin)),), k=12)
+            rows[f"{name}_{impl}_ms"] = round(dt * 1e3, 3)
+
+    # upsample+conv chains at the two finest decoder shapes
+    def unfused(x, k3, bias):
+        up = upsample2x_bilinear(x)
+        y = jax.lax.conv_general_dilated(
+            up, k3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+    for hw, c in [(32, 64), (64, 64)]:
+        k3 = rand((3, 3, c, c))
+        bias = rand((c,))
+        for impl, fn in [("unfused", unfused), ("dilated", fused_upsample_conv_dilated),
+                         ("phases", fused_upsample_conv_phases)]:
+            dt = _device_time(lambda: (lambda x: fn(x, k3, bias)),
+                              lambda i: (rand((b, hw, hw, c)),), k=12)
+            rows[f"upconv{hw}_{impl}_ms"] = round(dt * 1e3, 3)
+    print(json.dumps({"probe": "cand", **rows}))
 
 
 def probe_dump():
@@ -292,4 +374,5 @@ def probe_dump():
 
 if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
-     "noattn": probe_noattn, "parts": probe_parts, "dump": probe_dump}[sys.argv[1]]()
+     "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
+     "dump": probe_dump}[sys.argv[1]]()

@@ -218,3 +218,33 @@ class TestDecoder:
         fmaps = [jnp.zeros((1, 2, 2, 512))] * 3
         with pytest.raises(ValueError):
             dec.init({"params": jax.random.PRNGKey(0)}, fmaps, jnp.zeros((1,)))
+
+
+class TestLoweringKnobs:
+    """stem_impl / fuse_upsample change the XLA program, not the math or the
+    checkpoint layout: identical param trees and (f32) outputs."""
+
+    @pytest.mark.parametrize("knobs", [
+        {"stem_impl": "s2d"},
+        {"fuse_upsample": "dilated"},
+        {"fuse_upsample": "phases"},
+        {"stem_impl": "s2d", "fuse_upsample": "dilated"},
+    ])
+    def test_identical_params_and_outputs(self, knobs):
+        inputs = _make_inputs(size=64)
+        base = _build()
+        fast = _build(**knobs)
+        v0 = _init(base, inputs)
+        v1 = _init(fast, inputs)
+        # identical param trees (paths AND values: the holders reproduce
+        # nn.Conv's names, shapes, and init RNG paths)
+        flat0 = jax.tree_util.tree_flatten_with_path(v0["params"])[0]
+        flat1 = jax.tree_util.tree_flatten_with_path(v1["params"])[0]
+        assert [k for k, _ in flat0] == [k for k, _ in flat1]
+        for (p, a), (_, b) in zip(flat0, flat1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p))
+        out0 = base.apply(v0, **inputs, train=False)
+        out1 = fast.apply(v1, **inputs, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out0), rtol=2e-4, atol=2e-4
+        )
