@@ -36,7 +36,16 @@ def _flagship(size: int = 128):
     from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
     from sbgm_danra_tpu.sde import VESDE
 
-    spec = ModelSpec(in_channels=6, num_classes=4, compute_dtype="bfloat16")
+    spec = ModelSpec(
+        in_channels=6,
+        num_classes=4,
+        compute_dtype="bfloat16",
+        # lowering knobs: identical math/params, different XLA programs
+        # (tests/test_model.py::TestLoweringKnobs); env overrides let the perf
+        # probes A/B them at the full-sampler level
+        stem_impl=os.environ.get("SBGM_BENCH_STEM_IMPL", "direct"),
+        fuse_upsample=os.environ.get("SBGM_BENCH_FUSE_UPSAMPLE", "none"),
+    )
     sde = VESDE()
     model = build_score_model(spec, sde)
     return model, sde
