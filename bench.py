@@ -45,6 +45,7 @@ def _flagship(size: int = 128):
         # probes A/B them at the full-sampler level
         stem_impl=os.environ.get("SBGM_BENCH_STEM_IMPL", "direct"),
         fuse_upsample=os.environ.get("SBGM_BENCH_FUSE_UPSAMPLE", "none"),
+        fuse_head=os.environ.get("SBGM_BENCH_FUSE_HEAD", "0") == "1",
     )
     sde = VESDE()
     model = build_score_model(spec, sde)

@@ -229,6 +229,8 @@ class TestLoweringKnobs:
         {"fuse_upsample": "dilated"},
         {"fuse_upsample": "phases"},
         {"stem_impl": "s2d", "fuse_upsample": "dilated"},
+        {"fuse_head": True},
+        {"stem_impl": "s2d", "fuse_head": True},
     ])
     def test_identical_params_and_outputs(self, knobs):
         inputs = _make_inputs(size=64)
