@@ -27,14 +27,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = 26  # CFG-doubled member batch (13 members/chip)
+MEMBERS = int(os.environ.get("SBGM_PROBE_MEMBERS", "13"))
+BATCH = 2 * MEMBERS  # CFG-doubled member batch
 SIZE = 128
 
 
 def setup():
     from bench import _sampling_setup
 
-    return _sampling_setup(13, SIZE, 3.0)
+    return _sampling_setup(MEMBERS, SIZE, 3.0)
 
 
 def _time(fn, *args, n=20):
@@ -131,7 +132,7 @@ def probe_scan():
 
     sde, cond, score_fn = setup()
     config = SamplerConfig(num_steps=30, guidance_scale=3.0)
-    run = jax.jit(lambda rng: pc_sampler(score_fn, rng, (13, SIZE, SIZE, 1), sde, config, cond=cond))
+    run = jax.jit(lambda rng: pc_sampler(score_fn, rng, (MEMBERS, SIZE, SIZE, 1), sde, config, cond=cond))
     compiled = run.lower(jax.random.PRNGKey(0)).compile()
     compiled(jax.random.PRNGKey(0)).block_until_ready()
     dts = []
@@ -141,9 +142,10 @@ def probe_scan():
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
     print(json.dumps({
-        "probe": "scan", "steps_per_sec": round(30 / dt, 2),
+        "probe": "scan", "members": MEMBERS, "steps_per_sec": round(30 / dt, 2),
         "ms_per_step": round(dt / 30 * 1e3, 3),
         "ms_per_forward": round(dt / 60 * 1e3, 3),
+        "member_steps_per_sec": round(MEMBERS * 30 / dt, 1),
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
     }))
 
