@@ -159,16 +159,27 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10):
     cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
     init = {k: v for k, v in full.items() if k != "sdf"}
     state = create_train_state(cfg, model, init, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, sde), donate_argnums=0)
-    state, m = step(state, full, jax.random.PRNGKey(1))
-    jax.block_until_ready(m["loss"])
-    # best-of-3 timed windows (tunnel jitter makes single averages noisy)
+    step = make_train_step(model, sde)
+
+    # Time `iters` steps as ONE compiled lax.scan: a single dispatch+sync per
+    # window. Eager-chained steps pay the remote-dispatch path per step, which
+    # is where the r1 1280-1813 samples/s jitter came from (STATUS.md).
+    def window(state, keys):
+        def body(s, key):
+            s, m = step(s, full, key)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, keys)
+
+    run = jax.jit(window, donate_argnums=0)
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    state, losses = run(state, keys)
+    jax.block_until_ready(losses)
     best_dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        for i in range(iters):
-            state, m = step(state, full, jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        state, losses = run(state, keys)
+        jax.block_until_ready(losses)
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     return batch / best_dt
 
