@@ -133,7 +133,12 @@ def probe_scan():
     sde, cond, score_fn = setup()
     config = SamplerConfig(num_steps=30, guidance_scale=3.0)
     run = jax.jit(lambda rng: pc_sampler(score_fn, rng, (MEMBERS, SIZE, SIZE, 1), sde, config, cond=cond))
-    compiled = run.lower(jax.random.PRNGKey(0)).compile()
+    # TPU compiler knobs: local XLA_FLAGS parsing aborts on TPU-backend flags
+    # (the axon client's XLA build doesn't know them); PJRT compiler_options
+    # ride the compile request to the server-side compiler instead.
+    opts = json.loads(os.environ.get("SBGM_COMPILER_OPTIONS", "null"))
+    lowered = run.lower(jax.random.PRNGKey(0))
+    compiled = lowered.compile(compiler_options=opts) if opts else lowered.compile()
     compiled(jax.random.PRNGKey(0)).block_until_ready()
     dts = []
     for i in range(3):
@@ -147,6 +152,7 @@ def probe_scan():
         "ms_per_forward": round(dt / 60 * 1e3, 3),
         "member_steps_per_sec": round(MEMBERS * 30 / dt, 1),
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        "compiler_options": os.environ.get("SBGM_COMPILER_OPTIONS", ""),
     }))
 
 

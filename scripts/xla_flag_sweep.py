@@ -1,11 +1,13 @@
-"""XLA TPU flag sweep over the guided-forward probe (DESIGN.md section 4a).
+"""TPU compiler-option sweep over the sampler scan probe (DESIGN.md 4a).
 
-Each variant launches scripts/perf_probe.py forward in a child process with
-XLA_FLAGS set before interpreter start (flags are compile-time; the
-persistent cache keys on them, so each variant compiles once ever). Unknown
-flags make XLA abort — those variants are reported as failed, not fatal.
+Local XLA_FLAGS parsing aborts on TPU-backend flags (the axon client's XLA
+build doesn't know them — parse_flags_from_env dies before any request is
+sent), so TPU knobs are passed as PJRT ``compiler_options`` instead: they
+ride the compile request to the server-side compiler, and the persistent
+cache keys on them, so each variant compiles once ever. A variant the
+server-side compiler rejects is reported as failed, not fatal.
 
-Usage: python scripts/xla_flag_sweep.py [probe]   (default: forward)
+Usage: python scripts/xla_flag_sweep.py [probe]   (default: scan)
 """
 
 from __future__ import annotations
@@ -16,28 +18,28 @@ import subprocess
 import sys
 
 VARIANTS = {
-    "baseline": "",
+    "baseline": None,
     # bigger scoped VMEM lets the fusion emitter keep larger producer chains
     # resident (default 16 MiB on v5e)
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    # async / latency-hiding scheduler aggressiveness
-    "lhs": "--xla_latency_hiding_scheduler_rerun=2",
-    # flatten+unroll the sampler scan body less conservatively
-    "license_to_fuse": "--xla_tpu_licm_size_inflation_ratio=2.0",
+    "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    # latency-hiding scheduler aggressiveness
+    "lhs_rerun": {"xla_latency_hiding_scheduler_rerun": "2"},
+    # allow bigger fusions (size-based license)
+    "licm_inflate": {"xla_tpu_licm_size_inflation_ratio": "2.0"},
 }
 
 
 def main():
-    probe = sys.argv[1] if len(sys.argv) > 1 else "forward"
+    probe = sys.argv[1] if len(sys.argv) > 1 else "scan"
     here = os.path.dirname(os.path.abspath(__file__))
     results = {}
-    for name, flags in VARIANTS.items():
+    for name, opts in VARIANTS.items():
         env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+        if opts:
+            env["SBGM_COMPILER_OPTIONS"] = json.dumps(opts)
         else:
-            env.pop("XLA_FLAGS", None)
+            env.pop("SBGM_COMPILER_OPTIONS", None)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(here, "perf_probe.py"), probe],
@@ -49,9 +51,13 @@ def main():
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps({name: results[name]}), flush=True)
+    def _cost(r):
+        return r.get("ms", r.get("ms_per_step", float("inf")))
+
     best = min(
-        (r for r in results.values() if isinstance(r, dict) and "ms" in r),
-        key=lambda r: r["ms"], default=None,
+        (r for r in results.values()
+         if isinstance(r, dict) and ("ms" in r or "ms_per_step" in r)),
+        key=_cost, default=None,
     )
     print(json.dumps({"best": best}))
 
