@@ -97,6 +97,16 @@ def compare_power_spectra(
 # ---------------------------------------------------------------------------
 
 
+def _safe_corr(a: np.ndarray, b: np.ndarray) -> float:
+    """Pearson r of the flattened fields; NaN (without the numpy divide
+    warning) when either field is constant — correlation is undefined there."""
+    a = np.ravel(np.asarray(a, np.float64))
+    b = np.ravel(np.asarray(b, np.float64))
+    if a.std() == 0.0 or b.std() == 0.0:
+        return float("nan")
+    return float(np.corrcoef(a, b)[0, 1])
+
+
 def compare_fields(a: np.ndarray, b: np.ndarray) -> Dict[str, object]:
     """Single-day stats + difference map (reference compare_fields.py:20-142)."""
     diff = np.asarray(a, np.float64) - np.asarray(b, np.float64)
@@ -108,7 +118,7 @@ def compare_fields(a: np.ndarray, b: np.ndarray) -> Dict[str, object]:
         "bias": float(diff.mean()),
         "rmse": float(np.sqrt((diff**2).mean())),
         "mae": float(np.abs(diff).mean()),
-        "corr": float(np.corrcoef(np.ravel(a), np.ravel(b))[0, 1]),
+        "corr": _safe_corr(a, b),
         "diff_map": diff,
     }
 
@@ -122,7 +132,7 @@ def compare_timeseries(
         d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
         bias.append(d.mean())
         rmse.append(np.sqrt((d**2).mean()))
-        corr.append(np.corrcoef(np.ravel(a), np.ravel(b))[0, 1])
+        corr.append(_safe_corr(a, b))
     return {
         "bias": np.asarray(bias),
         "rmse": np.asarray(rmse),
