@@ -367,6 +367,19 @@ def probe_cand():
     print(json.dumps({"probe": "cand", **rows}))
 
 
+def probe_train():
+    """Training samples/s at SBGM_PROBE_TRAIN_BATCH (default 16): the scan
+    window from bench.bench_train — batch scaling amortizes weight traffic
+    the same way the sampler's member batch does."""
+    from bench import bench_train
+
+    b = int(os.environ.get("SBGM_PROBE_TRAIN_BATCH", "16"))
+    sps = bench_train(batch=b)
+    print(json.dumps({
+        "probe": "train", "batch": b, "samples_per_sec": round(sps, 1),
+    }))
+
+
 def probe_dump():
     """Write the compiled HLO of the guided forward to /tmp/fwd_hlo.txt."""
     sde, cond, score_fn = setup()
@@ -383,4 +396,4 @@ def probe_dump():
 if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
      "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
-     "dump": probe_dump}[sys.argv[1]]()
+     "train": probe_train, "dump": probe_dump}[sys.argv[1]]()
