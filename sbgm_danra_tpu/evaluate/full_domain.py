@@ -3,7 +3,7 @@
 The reference never samples the full domain — it trains and generates on
 128x128 cutouts (sbgm/config/default_config.yaml:20) because dense attention
 at full resolution is infeasible (SURVEY.md §5.7). Here the full 589x789 HR
-grid is padded to 640x832 (the next multiples of 32 for the five-stage
+grid is padded to 608x800 (the next multiples of 32 for the five-stage
 pyramid, BASELINE.json config 4), sampled in one compiled reverse-SDE scan —
 with the streaming Pallas flash-attention kernel carrying the large token
 counts — and cropped back.

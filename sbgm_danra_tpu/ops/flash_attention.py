@@ -3,7 +3,7 @@
 The reference copes with O((HW)^2) dense attention by restricting it to the two
 coarsest UNet stages (sbgm/score_unet.py:393-397, :780). A memory-linear flash
 kernel lifts that restriction on TPU: attention over the full padded DANRA
-domain (640x832 -> ~133K tokens at stride 4) becomes feasible (SURVEY.md §5.7).
+domain (608x800 -> ~122K tokens at stride 2) becomes feasible (SURVEY.md §5.7).
 
 ``flash_attention`` dispatches to a Pallas TPU kernel when running on TPU and
 the token count is large enough to amortize it; otherwise it falls back to

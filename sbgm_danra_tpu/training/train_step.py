@@ -44,7 +44,7 @@ def make_train_step(
     runs under shard_map (data parallel); None for single-device.
     ``remat``: rematerialize the forward pass on backward (jax.checkpoint) —
     trades ~1.3x FLOPs for O(1) activation memory, enabling full-domain
-    640x832 training batches that would otherwise exceed HBM.
+    608x800 training batches that would otherwise exceed HBM.
     ``skip_nonfinite_updates``: in-graph elastic recovery — non-finite
     loss/grads leave the state untouched instead of poisoning it.
     """

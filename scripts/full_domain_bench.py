@@ -2,16 +2,16 @@
 
 Measures, on the actual TPU:
 
-1. ``edm18``        — one compiled 589x789 -> 640x832 EDM-18 reverse scan
+1. ``edm18``        — one compiled 589x789 -> 608x800 EDM-18 reverse scan
                       (34 NFE, CFG doubled batch) at the reference attention
                       placement (2 coarsest stages); wall time + HBM peak.
-2. ``edm18_attn3``  — same with attention one stage finer (80x104 = 8,320
+2. ``edm18_attn3``  — same with attention one stage finer (76x100 = 7,600
                       tokens, beyond what the reference permits itself:
                       /root/reference/sbgm/score_unet.py:393-397,780 restricts
                       attention because dense attention is "very expensive")
                       through the Pallas flash backend.
-3. ``flash_133k``   — a single attention op at the stride-2 feature map's
-                      133,120 tokens: Pallas flash succeeds in O(S) memory
+3. ``flash_133k``   — a single attention op at 133,120 tokens (above the
+                      stride-2 feature map's 121,600): Pallas flash succeeds in O(S) memory
                       (time reported); the dense XLA path needs a 133k^2 score
                       matrix (~35 GB in bf16) and is expected to fail — the
                       failure is caught and reported.
@@ -113,7 +113,7 @@ def run_full_domain(label: str, attn_stages: int = 2, backend: str = "xla",
         dts.append(time.perf_counter() - t0)
     field = np.asarray(out)[:, : DOMAIN[0], : DOMAIN[1], 0]
     print(json.dumps({
-        "bench": label, "domain": "589x789->640x832", "nodes": nodes,
+        "bench": label, "domain": f"589x789->{target[0]}x{target[1]}", "nodes": nodes,
         "nfe": 2 * (nodes - 1), "cfg": True, "batch": batch,
         "attn_stages": attn_stages, "backend": backend,
         "wall_s": round(min(dts), 3), "compile_s": round(compile_s, 1),

@@ -1,7 +1,7 @@
 """Full-domain TRAINING step on real hardware (VERDICT r1 item 4).
 
 One remat'd DSM train step of the full-width flagship at the padded DANRA
-domain (589x789 -> 640x832), actually stepping on the chip — the reference's
+domain (589x789 -> 608x800), actually stepping on the chip — the reference's
 capability envelope is training (sbgm/training.py:246-422) at 128x128 crops;
 this demonstrates the full-domain batch the reference cannot touch.
 

@@ -364,10 +364,10 @@ class TestBigGridTraining:
 
     @pytest.mark.skipif(
         not os.environ.get("SBGM_BIG_TESTS"),
-        reason="640x832 on the CPU mesh takes ~6 min; set SBGM_BIG_TESTS=1",
+        reason="608x800 (padded full domain) on the CPU mesh takes ~6 min; set SBGM_BIG_TESTS=1",
     )
     def test_full_domain_remat_step(self, devices):
-        """The full padded 640x832 DANRA domain actually steps (measured green
+        """The full padded 608x800 DANRA domain actually steps (measured green
         2026-08-16; kept env-gated for suite runtime)."""
         assert np.isfinite(self._run_step(640, 832))
 
