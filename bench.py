@@ -31,26 +31,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# TPU compile options, measured via scripts/xla_flag_sweep.py (DESIGN.md 4a):
-# doubling scoped VMEM (16 -> 32 MiB) lets the fusion emitter keep larger
-# producer chains resident — +10.5% sampler throughput on v5e. Passed as PJRT
-# compiler_options (local XLA_FLAGS parsing rejects TPU backend flags).
-_DEFAULT_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
-
-
-def _compiler_options():
-    import json as _json
-
-    raw = os.environ.get("SBGM_COMPILER_OPTIONS")
-    if raw is not None:
-        return _json.loads(raw) or None
-    # TPU-only knob: other backends reject it
-    return _DEFAULT_COMPILER_OPTIONS if jax.default_backend() not in ("cpu", "gpu") else None
-
-
 def _compile(lowered):
-    opts = _compiler_options()
-    return lowered.compile(compiler_options=opts) if opts else lowered.compile()
+    # measured TPU compile options (+10.5% sampler; DESIGN.md 4a)
+    from sbgm_danra_tpu.compile_options import compile_lowered
+
+    return compile_lowered(lowered)
 
 
 def _flagship(size: int = 128):

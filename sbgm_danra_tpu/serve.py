@@ -69,12 +69,20 @@ class InferenceEngine:
         def run(key, cond):
             return sampler(self.score_fn, key, shape, self.sde, self.sampler_config, cond=cond)
 
-        self._run = jax.jit(run)
+        self._jitted = jax.jit(run)
+        self._run = self._jitted  # replaced by the compiled executable in warmup()
         self._lock = threading.Lock()
         self.model_string = get_model_string(cfg)
 
     def warmup(self) -> float:
-        """Compile the sampler ahead of the first request; returns seconds."""
+        """Compile the sampler ahead of the first request; returns seconds.
+
+        Compiles with the measured TPU options (compile_options.py) and swaps
+        the jitted callable for the compiled executable — all requests share
+        one program, served under the engine lock.
+        """
+        from sbgm_danra_tpu.compile_options import compile_lowered
+
         t0 = time.time()
         n_lr = len(self.cfg.lowres.condition_variables or ())
         cond = {
@@ -83,7 +91,9 @@ class InferenceEngine:
             "lsm_cond": jnp.zeros((self.max_members, *self.hw, 2)),
             "topo_cond": jnp.zeros((self.max_members, *self.hw, 2)),
         }
-        jax.block_until_ready(self._run(jax.random.PRNGKey(0), cond))
+        key = jax.random.PRNGKey(0)
+        self._run = compile_lowered(self._jitted.lower(key, cond))
+        jax.block_until_ready(self._run(key, cond))
         return time.time() - t0
 
     def generate(
