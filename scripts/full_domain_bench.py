@@ -60,6 +60,8 @@ def _flagship(attn_stages: int, backend: str):
         attention_backend=backend,
         encoder_attn_stages=attn_stages,
         decoder_attn_blocks=2,
+        # DESIGN 4a: the fuse_head verdict is shape-dependent — A/B it here
+        fuse_head=os.environ.get("SBGM_BENCH_FUSE_HEAD", "0") == "1",
     )
     sde = VESDE()
     return build_score_model(spec, sde), sde
