@@ -519,6 +519,25 @@ class ModelSpec:
     fuse_head: bool = False  # fuse the linear final block into one conv
 
 
+def inference_spec(spec: ModelSpec, image_hw: Optional[Tuple[int, int]] = None) -> ModelSpec:
+    """Apply the measured per-shape lowering winners (docs/DESIGN.md 4a).
+
+    All knobs are exact (identical params + outputs), so this only changes the
+    XLA program. Measured on v5e (r2): at crop scale (<=256 px) the baseline
+    program beats every alternative lowering; at full-domain scale the fused
+    linear head wins (0.588 vs 0.704 s for the 608x800 EDM-18 scan, -16%) —
+    its border-strip overhead is O(H+W) while the intermediates it removes
+    grow O(H*W).
+    """
+    full_domain = image_hw is not None and min(image_hw) >= 512
+    return dataclasses.replace(
+        spec,
+        stem_impl="direct",
+        fuse_upsample="none",
+        fuse_head=bool(full_domain),
+    )
+
+
 def build_score_model(spec: ModelSpec, sde=None) -> ScoreUNet:
     """Model factory (reference training_utils.py:597-669 get_model)."""
     from sbgm_danra_tpu.sde import VESDE

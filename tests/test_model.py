@@ -250,3 +250,23 @@ class TestLoweringKnobs:
         np.testing.assert_allclose(
             np.asarray(out1), np.asarray(out0), rtol=2e-4, atol=2e-4
         )
+
+
+class TestInferenceSpec:
+    """inference_spec applies the measured per-shape winners (DESIGN 4a)."""
+
+    def test_crop_scale_is_baseline(self):
+        from sbgm_danra_tpu.models.unet import ModelSpec, inference_spec
+
+        spec = inference_spec(ModelSpec(in_channels=6), image_hw=(128, 128))
+        assert spec.stem_impl == "direct"
+        assert spec.fuse_upsample == "none"
+        assert spec.fuse_head is False
+
+    def test_full_domain_fuses_head(self):
+        from sbgm_danra_tpu.models.unet import ModelSpec, inference_spec
+
+        spec = inference_spec(ModelSpec(in_channels=6), image_hw=(608, 800))
+        assert spec.fuse_head is True
+        # lowering knobs never change params/math, only the XLA program
+        assert spec.stem_impl == "direct"
