@@ -166,6 +166,26 @@ def generation_main(cfg: Config) -> None:
             generator.generate_single()
         elif gen_type == "repeated":
             generator.generate_repeated()
+        elif gen_type == "full_domain":
+            # dedicated loader: full-field conditioning, training-crop stats
+            from sbgm_danra_tpu.data.factory import make_dataset
+            from sbgm_danra_tpu.data.loader import DataLoader
+
+            fd_loader = DataLoader(
+                make_dataset(cfg, "test", full_domain=True),
+                batch_size=cfg.evaluation.n_full_domain_samples,
+                shuffle=False,
+                drop_last=False,
+                num_workers=cfg.data_handling.num_workers,
+                seed=cfg.evaluation.seed,
+            )
+            SampleGenerator(
+                cfg,
+                pipeline.score_fn(use_ema=cfg.training.load_ema),
+                fd_loader,
+                back_transforms=back_transforms,
+                mesh=mesh,
+            ).generate_full_domain()
         else:
             raise ValueError(f"Unknown gen_type: {gen_type}")
 

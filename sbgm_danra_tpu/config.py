@@ -260,7 +260,8 @@ class EvaluationConfig:
     n_steps: int = 1000
     batch_size: int = 1
     seed: int = 42
-    gen_type: Tuple[str, ...] = ("multiple",)  # multiple | single | repeated
+    gen_type: Tuple[str, ...] = ("multiple",)  # multiple | single | repeated | full_domain
+    n_full_domain_samples: int = 1  # batch size for gen_type full_domain
     n_repeats: int = 8
     save_samples: bool = True
     save_figs: bool = True

@@ -62,17 +62,24 @@ def _make_transform(
     )
 
 
-def make_dataset(cfg: Config, split: str, n_samples: Optional[int] = None) -> DanraDataset:
+def make_dataset(
+    cfg: Config, split: str, n_samples: Optional[int] = None, full_domain: bool = False
+) -> DanraDataset:
+    """``full_domain=True`` yields FULL-field samples (no cutouts, sizes =
+    full_domain_dims) while keeping the transform stats keyed exactly as in
+    training — the model was normalized with the training-crop statistics, so
+    full-domain inference must reuse them (evaluate/full_domain.py)."""
     hr_cfg, lr_cfg = cfg.highres, cfg.lowres
     geo_cfg = cfg.stationary_conditions.geographic_conditions
     season_cfg = cfg.stationary_conditions.seasonal_conditions
     scaling = cfg.transforms.scaling
-    cutouts = cfg.transforms.sample_w_cutouts
+    stats_cutouts = cfg.transforms.sample_w_cutouts
+    cutouts = stats_cutouts and not full_domain
 
     hr_domain = _domain_str(hr_cfg.full_domain_dims)
     lr_domain = _domain_str(lr_cfg.full_domain_dims)
-    hr_crop = _crop_str(hr_cfg.cutout_domains if cutouts else None)
-    lr_crop = _crop_str(lr_cfg.cutout_domains if cutouts else None)
+    hr_crop = _crop_str(hr_cfg.cutout_domains if stats_cutouts else None)
+    lr_crop = _crop_str(lr_cfg.cutout_domains if stats_cutouts else None)
 
     hr_transform = (
         _make_transform(
@@ -121,11 +128,16 @@ def make_dataset(cfg: Config, split: str, n_samples: Optional[int] = None) -> Da
         lsm = _load_geo_npz(cfg.paths.lsm_path)
         topo = _load_geo_npz(cfg.paths.topo_path)
 
+    hr_size = tuple(hr_cfg.full_domain_dims) if full_domain else tuple(hr_cfg.data_size)
+    if full_domain:
+        lr_size = tuple(lr_cfg.full_domain_dims)
+    else:
+        lr_size = tuple(lr_cfg.data_size) if lr_cfg.data_size else None
     return DanraDataset(
         hr=hr,
         lr_conditions=lr_sources,
-        hr_data_size=tuple(hr_cfg.data_size),
-        lr_data_size=tuple(lr_cfg.data_size) if lr_cfg.data_size else None,
+        hr_data_size=hr_size,
+        lr_data_size=lr_size,
         cutouts=cutouts,
         cutout_domains=hr_cfg.cutout_domains,
         lr_cutout_domains=lr_cfg.cutout_domains,

@@ -203,3 +203,27 @@ class SampleGenerator:
             for k, v in batch.items()
         }
         return self._finalize(rep_batch, generated, f"repeated_{n_repeats}")
+
+    def generate_full_domain(self) -> np.ndarray:
+        """Whole-domain fields (no cutouts): pad the full-field conditioning to
+        the /32 pyramid, run one compiled reverse scan at padded dims, crop
+        back. Requires a loader built with ``make_dataset(..., full_domain=True)``
+        — the workload the reference never attempts (its attention restriction
+        exists precisely because it cannot, sbgm/score_unet.py:780)."""
+        from sbgm_danra_tpu.evaluate.full_domain import sample_full_domain
+
+        batch = self._next_batch()
+        cond = self._cond(batch)
+        domain_hw = tuple(batch["x"].shape[1:3])
+        self.rng, key = jax.random.split(self.rng)
+        generated = sample_full_domain(
+            self.score_fn,
+            key,
+            cond,
+            domain_hw=domain_hw,
+            batch=batch["x"].shape[0],
+            sde=self.sde,
+            config=self.sampler_config,
+            sampler=self.sampler_name,
+        )  # (N, H, W), already cropped to the domain
+        return self._finalize(batch, generated, "full_domain")

@@ -118,6 +118,38 @@ class TestCLIFullPipeline:
         assert glob.glob(os.path.join(fig_path, "pixel_stats_*.npz"))
         assert glob.glob(os.path.join(fig_path, "examples_*.png"))
 
+    def test_full_domain_generation(self, cli_env):
+        """gen_type=full_domain: whole-domain conditioning (no cutouts), padded
+        reverse scan, cropped artifact in the standard npz layout."""
+        import yaml as _yaml
+
+        root, cfg_path = cli_env
+        cfg = load_config(cfg_path)
+        if not check_model_exists(cfg):
+            pytest.skip("needs the checkpoint trained by the pipeline test")
+        with open(cfg_path) as f:
+            d = _yaml.safe_load(f)
+        d["evaluation"]["gen_type"] = ["full_domain"]
+        fd_path = os.path.join(root, "cfg_fd.yaml")
+        with open(fd_path, "w") as f:
+            _yaml.safe_dump(d, f)
+        main(["--config_path", fd_path, "--mode", "generate"])
+
+        from sbgm_danra_tpu.utils.naming import get_model_string
+
+        sample_path = os.path.join(
+            root, "samples", "generation", get_model_string(cfg), "generated_samples"
+        )
+        fd = glob.glob(os.path.join(sample_path, "gen_samples_full_domain.npz"))
+        assert fd, os.listdir(sample_path)
+        arr = np.load(fd[0])["arr_0"]
+        # full 48x64 domain (fixture full_domain_dims), batch 1, finite, precip >= 0
+        assert arr.shape == (1, 48, 64)
+        assert np.isfinite(arr).all()
+        assert arr.min() >= 0.0
+        truth = np.load(os.path.join(sample_path, "eval_samples_full_domain.npz"))["arr_0"]
+        assert truth.shape == (1, 48, 64)
+
     def test_config_overrides(self, cli_env):
         root, cfg_path = cli_env
         cfg = load_config(cfg_path, {"training.epochs": 7, "sampler.num_heads": 4})
