@@ -40,6 +40,8 @@ class Evaluation:
             suffix = f"_repeated_{n_samples}.npz"
         elif generated_sample_type == "single":
             suffix = "_single.npz"
+        elif generated_sample_type == "full_domain":
+            suffix = "_full_domain.npz"
         else:
             suffix = f"_multi_n_{n_samples}.npz"
         self.suffix = suffix
