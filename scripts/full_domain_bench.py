@@ -103,7 +103,9 @@ def run_full_domain(label: str, attn_stages: int = 2, backend: str = "xla",
     config = SamplerConfig(num_steps=nodes, guidance_scale=3.0, s_churn=14.0)
     run = jax.jit(lambda key, c: edm_sampler(score_fn, key, shape, sde, config, cond=c))
     t0 = time.perf_counter()
-    compiled = run.lower(jax.random.PRNGKey(0), cond).compile()
+    from sbgm_danra_tpu.compile_options import compile_lowered
+
+    compiled = compile_lowered(run.lower(jax.random.PRNGKey(0), cond))
     compile_s = time.perf_counter() - t0
     out = compiled(jax.random.PRNGKey(0), cond)
     jax.block_until_ready(out)

@@ -58,9 +58,14 @@ def main(batch: int = 2):
     cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
     init = {k: v for k, v in full.items() if k != "sdf"}
     state = create_train_state(cfg, model, init, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, sde, remat=True), donate_argnums=0)
+    from sbgm_danra_tpu.compile_options import compile_lowered
 
     t0 = time.perf_counter()
+    step = compile_lowered(
+        jax.jit(make_train_step(model, sde, remat=True), donate_argnums=0).lower(
+            state, full, jax.random.PRNGKey(1)
+        )
+    )
     state, m = step(state, full, jax.random.PRNGKey(1))
     jax.block_until_ready(m["loss"])
     compile_s = time.perf_counter() - t0
