@@ -181,7 +181,10 @@ def generation_main(cfg: Config) -> None:
             )
             SampleGenerator(
                 cfg,
-                pipeline.score_fn(use_ema=cfg.training.load_ema),
+                pipeline.score_fn(
+                    use_ema=cfg.training.load_ema,
+                    image_hw=tuple(cfg.highres.full_domain_dims),
+                ),
                 fd_loader,
                 back_transforms=back_transforms,
                 mesh=mesh,

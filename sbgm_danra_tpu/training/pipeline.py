@@ -302,9 +302,22 @@ class TrainingPipeline:
 
     # -- sampling hooks ----------------------------------------------------------
 
-    def score_fn(self, use_ema: Optional[bool] = None):
+    def score_fn(self, use_ema: Optional[bool] = None, image_hw: Optional[tuple] = None):
+        """Sampling closure over the (EMA) weights.
+
+        ``image_hw``: the inference image size, if known — applies the
+        measured per-shape lowering winners (models/unet.py inference_spec):
+        identical params and outputs, but e.g. the fused linear head is -16%
+        wall at full-domain scale. None keeps the training-time program.
+        """
         use_ema = self.cfg.training.with_ema if use_ema is None else use_ema
-        return make_score_fn(self.model, self.state, use_ema=use_ema)
+        model = self.model
+        if image_hw is not None:
+            from sbgm_danra_tpu.models.unet import build_score_model, inference_spec
+
+            spec = inference_spec(model_spec_from_config(self.cfg), image_hw)
+            model = build_score_model(spec, self.sde)
+        return make_score_fn(model, self.state, use_ema=use_ema)
 
     def generate_previews(self, n_steps: Optional[int] = None) -> Optional[np.ndarray]:
         """Per-epoch preview sampling (reference generate_and_plot_samples,
