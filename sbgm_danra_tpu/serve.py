@@ -74,6 +74,21 @@ class InferenceEngine:
         self._lock = threading.Lock()
         self.model_string = get_model_string(cfg)
 
+    def _zero_cond(self) -> Dict[str, jnp.ndarray]:
+        """The full condition pytree at warmup shapes, all-zero.
+
+        Zeros are the model's CFG-null protocol (dropped LR fields, zeroed geo
+        mask channel, class 0), so they are also the semantic default for
+        condition keys a request omits.
+        """
+        n_lr = len(self.cfg.lowres.condition_variables or ())
+        return {
+            "y": jnp.zeros((self.max_members,), jnp.int32),
+            "cond_img": jnp.zeros((self.max_members, *self.hw, n_lr)),
+            "lsm_cond": jnp.zeros((self.max_members, *self.hw, 2)),
+            "topo_cond": jnp.zeros((self.max_members, *self.hw, 2)),
+        }
+
     def warmup(self) -> float:
         """Compile the sampler ahead of the first request; returns seconds.
 
@@ -84,13 +99,7 @@ class InferenceEngine:
         from sbgm_danra_tpu.compile_options import compile_lowered
 
         t0 = time.time()
-        n_lr = len(self.cfg.lowres.condition_variables or ())
-        cond = {
-            "y": jnp.zeros((self.max_members,), jnp.int32),
-            "cond_img": jnp.zeros((self.max_members, *self.hw, n_lr)),
-            "lsm_cond": jnp.zeros((self.max_members, *self.hw, 2)),
-            "topo_cond": jnp.zeros((self.max_members, *self.hw, 2)),
-        }
+        cond = self._zero_cond()
         key = jax.random.PRNGKey(0)
         self._run = compile_lowered(self._jitted.lower(key, cond))
         jax.block_until_ready(self._run(key, cond))
@@ -105,7 +114,11 @@ class InferenceEngine:
                 f"n_members {n_members} exceeds engine capacity {self.max_members}"
             )
         m = self.max_members
-        cond = {}
+        # Start from the warmup-shaped zero pytree so the call structure always
+        # matches the AOT-compiled executable; missing keys stay at their
+        # CFG-null zeros instead of changing the pytree (which would fail
+        # against the warmed-up program with an aval mismatch).
+        cond = self._zero_cond()
         for key in ("y", "cond_img", "lsm_cond", "topo_cond"):
             v = conditions.get(key)
             if v is None:

@@ -134,3 +134,29 @@ class TestRemat:
             tight += int((np.abs(a - b) < 1e-5).sum())
             total += a.size
         assert tight / total > 0.95
+
+
+class TestFullDomainStatsCaveat:
+    def test_crop_stats_warning_on_full_domain_only(self, tmp_path, caplog):
+        """make_dataset(full_domain=True) must surface the crop-trained-stats
+        caveat (VERDICT r2 weak 5); the training path must stay quiet."""
+        import logging
+
+        from sbgm_danra_tpu.data.factory import make_dataset
+        from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+        from tests.test_training import tiny_config
+
+        root = str(tmp_path)
+        generate(SyntheticSpec(root=root, full_domain=(48, 64), n_days=8,
+                               crop_region=(8, 40, 16, 56)))
+        cfg = tiny_config(root)
+        with caplog.at_level(logging.WARNING, logger="sbgm_danra_tpu.data.factory"):
+            make_dataset(cfg, "test", full_domain=True)
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any("TRAINING-CROP statistics" in m for m in msgs)
+
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="sbgm_danra_tpu.data.factory"):
+            make_dataset(cfg, "train")
+        assert not [r for r in caplog.records
+                    if "TRAINING-CROP" in r.getMessage()]

@@ -162,6 +162,77 @@ class TestRingAttention:
         with pytest.raises(ValueError):
             ring_self_attention(x, x, x, mesh, "data")
 
+    def test_inline_matches_dense_under_jit(self, mesh):
+        """ring_attention_inline inside a jitted fn under ring_context equals
+        the dense path; without a context it IS the dense path."""
+        from sbgm_danra_tpu.parallel.ring_attention import (
+            ring_attention_inline,
+            ring_context,
+        )
+
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+        shape = (2, 64, 2, 16)
+        q, k, v = (jax.random.normal(key, shape) for key in (kq, kk, kv))
+        want = jax.nn.dot_product_attention(q, k, v)
+
+        no_ctx = jax.jit(ring_attention_inline)(q, k, v)
+        np.testing.assert_allclose(np.asarray(no_ctx), np.asarray(want), atol=1e-6)
+
+        with ring_context(mesh, "data"):
+            got = jax.jit(ring_attention_inline)(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+
+    def test_module_backend_ring_matches_xla(self, mesh):
+        """SpatialSelfAttention(backend='ring') under ring_context == the xla
+        backend with identical params (VERDICT r2 item 3: the wiring)."""
+        from sbgm_danra_tpu.models.attention import SpatialSelfAttention
+        from sbgm_danra_tpu.parallel.ring_attention import ring_context
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16, 32))  # 128 tokens
+        dense = SpatialSelfAttention(32, 2, backend="xla")
+        ring = SpatialSelfAttention(32, 2, backend="ring")
+        variables = dense.init(jax.random.PRNGKey(3), x)
+        want = dense.apply(variables, x)
+        with ring_context(mesh, "data"):
+            got = jax.jit(lambda v, x: ring.apply(v, x))(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+
+    def test_model_forward_ring_backend(self, mesh):
+        """Full tiny score-model forward with attention_backend='ring' on the
+        8-device mesh matches the single-device xla-backend forward; stages
+        whose token count does not divide the mesh fall back dense (still
+        exact)."""
+        import dataclasses as dc
+
+        from sbgm_danra_tpu.parallel.ring_attention import ring_context
+
+        spec = ModelSpec(
+            in_channels=6, num_classes=4, last_fmap_channels=64,
+            time_embedding=32, num_heads=2, block_layers=(1, 1, 1, 1),
+        )
+        sde = VESDE()
+        model_xla = build_score_model(spec, sde)
+        model_ring = build_score_model(dc.replace(spec, attention_backend="ring"), sde)
+        batch = _batch(b=2, s=64)  # attended maps: 4x4=16 tokens (sharded), 2x2=4 (fallback)
+        t = jnp.full((2,), 0.5)
+        variables = model_xla.init({"params": jax.random.PRNGKey(0)}, batch["x"], t,
+                                   y=batch["y"], cond_img=batch["cond_img"],
+                                   lsm_cond=batch["lsm_cond"],
+                                   topo_cond=batch["topo_cond"], train=False)
+
+        def fwd(model):
+            def f(v):
+                return model.apply(v, batch["x"], t, y=batch["y"],
+                                   cond_img=batch["cond_img"],
+                                   lsm_cond=batch["lsm_cond"],
+                                   topo_cond=batch["topo_cond"], train=False)
+            return jax.jit(f)(variables)
+
+        want = fwd(model_xla)
+        with ring_context(mesh, "data"):
+            got = fwd(model_ring)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5)
+
 
 class TestTensorParallelHooks:
     def test_forward_with_sharded_params(self, devices):
@@ -369,7 +440,9 @@ class TestBigGridTraining:
     def test_full_domain_remat_step(self, devices):
         """The full padded 608x800 DANRA domain actually steps (measured green
         2026-08-16; kept env-gated for suite runtime)."""
-        assert np.isfinite(self._run_step(640, 832))
+        from sbgm_danra_tpu.evaluate.full_domain import padded_dims
+
+        assert np.isfinite(self._run_step(*padded_dims(589, 789)))
 
 
 class TestMultiHostInit:

@@ -67,6 +67,21 @@ class TestInferenceEngine:
         with pytest.raises(ValueError):
             engine.generate(_conditions(), n_members=99)
 
+    def test_partial_conditions_match_compiled_structure(self, engine):
+        """Requests missing condition keys must still hit the AOT-compiled
+        executable (missing keys = CFG-null zeros), not fail with a pytree
+        structure mismatch (ADVICE r2 medium)."""
+        cond = _conditions()
+        cond.pop("topo_cond")
+        cond.pop("y")
+        out = engine.generate(cond, n_members=2, seed=7)
+        assert out.shape == (2, 32, 32)
+        assert np.isfinite(out).all()
+        # empty conditions = fully CFG-null request; also must serve
+        out2 = engine.generate({}, n_members=1, seed=7)
+        assert out2.shape == (1, 32, 32)
+        assert np.isfinite(out2).all()
+
 
 class TestHTTPAPI:
     @pytest.fixture(scope="class")
