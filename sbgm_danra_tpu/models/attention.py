@@ -31,7 +31,13 @@ class SpatialSelfAttention(nn.Module):
 
     channels: int
     n_heads: int
-    backend: str = "xla"  # 'xla' | 'pallas'
+    # 'xla' (dense flash path) | 'pallas' (in-repo flash kernel, long token
+    # counts) | 'ring' (token axis sharded over the ambient
+    # parallel.ring_attention.ring_context mesh; exact, dense fallback when no
+    # context is active — the pod-scale path for full-domain fields,
+    # SURVEY.md section 2.9 SP / reference sbgm/score_unet.py:780)
+    backend: str = "xla"
+    ring_axis: str = "data"
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +79,10 @@ class SpatialSelfAttention(nn.Module):
             from sbgm_danra_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)
+        elif self.backend == "ring":
+            from sbgm_danra_tpu.parallel.ring_attention import ring_attention_inline
+
+            out = ring_attention_inline(q, k, v, axis_name=self.ring_axis)
         else:
             out = jax.nn.dot_product_attention(q, k, v)
 

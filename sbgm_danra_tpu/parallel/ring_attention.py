@@ -14,8 +14,10 @@ can itself be the flash kernel; here the block product is plain dot_general
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Optional
+import logging
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +25,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Array = jax.Array
 
+logger = logging.getLogger(__name__)
+
 _NEG_INF = -1e30
+
+# Trace-time mesh context: model code (SpatialSelfAttention backend='ring')
+# reads this instead of threading a Mesh through the (checkpointable,
+# hashable) ModelSpec. Set it around the jit/apply call site.
+_RING_CONTEXT: List[Tuple[Mesh, str]] = []
+
+
+@contextlib.contextmanager
+def ring_context(mesh: Mesh, axis_name: str = "data"):
+    """Token-shard ring attention over ``mesh[axis_name]`` for model calls
+    traced inside this context (SURVEY.md section 2.9 SP row)."""
+    _RING_CONTEXT.append((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _RING_CONTEXT.pop()
+
+
+def current_ring_context() -> Optional[Tuple[Mesh, str]]:
+    return _RING_CONTEXT[-1] if _RING_CONTEXT else None
 
 
 def _ring_attention_local(q: Array, k: Array, v: Array, axis_name: str) -> Array:
@@ -63,6 +87,48 @@ def _ring_attention_local(q: Array, k: Array, v: Array, axis_name: str) -> Array
     (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, acc0, k, v), None, length=n)
     out = acc / jnp.maximum(l, 1e-30)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+
+def ring_attention_inline(q: Array, k: Array, v: Array, axis_name: str = "data") -> Array:
+    """Traceable ring attention for use INSIDE a jitted model.
+
+    Reads the ambient :func:`ring_context`; without one (or when the token
+    count does not divide the mesh axis) it falls back to the exact dense
+    XLA path, so ``backend='ring'`` models stay runnable everywhere — on a
+    mesh they token-shard, single-device they behave like ``backend='xla'``.
+    q/k/v: [B, S, H, D]; returns [B, S, H, D].
+    """
+    ctx = current_ring_context()
+    if ctx is None:
+        return jax.nn.dot_product_attention(q, k, v)
+    mesh, axis = ctx
+    axis = axis or axis_name
+    n = mesh.shape[axis]
+    s = q.shape[1]
+    if n == 1 or s % n != 0:
+        if n > 1:
+            logger.warning(
+                "ring attention: token count %d not divisible by mesh axis "
+                "%r=%d; this layer runs dense", s, axis, n,
+            )
+        return jax.nn.dot_product_attention(q, k, v)
+    spec = P(None, axis, None, None)
+    # Keep the manual region sharding-isolated: without the replicated pins,
+    # GSPMD propagates the token sharding into the surrounding conv pyramid,
+    # where XLA's halo exchange MISCOMPILES stride-2 convs at degenerate
+    # 1-row-per-shard sizes (measured: max|err| ~ 10.9 on an 8x8 map sharded
+    # 8-way; fine at >=2 rows/shard). The ring region itself resharding
+    # replicated->token-sharded->replicated is two cheap all-gathers of
+    # attention-sized tensors.
+    rep = NamedSharding(mesh, P())
+    q, k, v = (jax.lax.with_sharding_constraint(x, rep) for x in (q, k, v))
+    fn = jax.shard_map(
+        functools.partial(_ring_attention_local, axis_name=axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return jax.lax.with_sharding_constraint(fn(q, k, v), rep)
 
 
 def ring_self_attention(
