@@ -141,6 +141,10 @@ class DataHandlingConfig:
     num_workers: int = 4
     n_gen_samples: int = 3
     prefetch_depth: int = 2  # device prefetch double-buffering depth
+    # Device-resident dataset (data/device_data.py): load the whole split into
+    # HBM once and assemble batches in a compiled program — no host loader in
+    # the training loop. Requires resize_factor 1 + LR on the HR grid.
+    device_dataset: bool = False
 
 
 @dataclass

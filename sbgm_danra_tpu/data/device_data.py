@@ -1,0 +1,270 @@
+"""Device-resident dataset: the whole split lives in HBM; batch assembly is a
+compiled XLA program (crop gather + jump-flood SDF + CFG dropout).
+
+TPU-first replacement for the host loader when a split fits device memory
+(a year of 589x789 daily float32 fields is ~0.68 GB per variable): the
+reference's per-sample zarr read -> numpy transform -> collate -> H2D copy
+pipeline (sbgm/data_modules.py:727-997 feeding torch DataLoader workers,
+sbgm/training_utils.py:329-339) becomes one gather from resident stacks, so
+training throughput is set by the chip, not by host CPUs. The reference's
+only recorded training run died on a mid-epoch zarr read timeout
+(models_and_samples/trained_models/logs/train_log_20250716_122502.log); with
+resident data there is no mid-epoch IO at all.
+
+Semantics parity with DanraDataset.__getitem__ (tests/test_device_data.py):
+
+- per-variable transforms are elementwise with *global* stats, so they commute
+  with cropping — fields are unit-corrected + transformed ONCE over the full
+  domain at load time;
+- crops are rows-first uniform draws inside ``cutout_domains`` [x1, x2, y1, y2]
+  (reference data_modules.py:184-223 find_rand_points);
+- the SDF uses the device jump-flood (== host EDT to 1e-4, tests/test_data.py);
+- CFG dropout zeroes LR conds + geo mask channels + classifier with prob p
+  (reference data_modules.py:957-993).
+
+Restrictions (asserted at build): resize_factor == 1 and the LR conditions on
+the HR grid with a shared crop window — the production DANRA configuration.
+The host loader remains the general path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbgm_danra_tpu.data.dataset import DanraDataset
+from sbgm_danra_tpu.ops.sdf import generate_sdf_device
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DeviceStacks:
+    """All days of a split as device arrays (transformed, ready to crop)."""
+
+    hr: jax.Array  # [D, H, W] transformed HR target
+    lr: jax.Array  # [D, H, W, C] transformed LR conditions, channels sorted by name
+    lr_names: Tuple[str, ...]
+    lsm: jax.Array  # [H, W] binary land-sea mask
+    topo: jax.Array  # [H, W] scaled topography
+    classifier: jax.Array  # [D] int32 class indices (0 reserved for CFG null)
+    dates: Tuple[str, ...]
+
+    @property
+    def n_days(self) -> int:
+        return self.hr.shape[0]
+
+    def nbytes(self) -> int:
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (self.hr, self.lr, self.lsm, self.topo)
+        )
+
+
+def build_device_stacks(
+    dataset: DanraDataset, dtype: jnp.dtype = jnp.float32
+) -> DeviceStacks:
+    """Load every common date of ``dataset`` full-domain, transform, upload.
+
+    The heavy lifting reuses the host dataset's store/date/transform machinery
+    so the two paths cannot drift; only the crop/SDF/dropout stages move into
+    the compiled sampler.
+    """
+    if dataset.resize_factor != 1:
+        raise ValueError("device dataset requires resize_factor == 1")
+    if dataset.lr_data_size is not None and dataset.lr_cutout_domains is not None:
+        raise ValueError(
+            "device dataset requires LR conditions on the HR grid with a "
+            "shared crop window (the production DANRA configuration)"
+        )
+    if dataset.lsm_full_domain is None or dataset.topo_full_domain is None:
+        raise ValueError("device dataset requires lsm+topo geography")
+
+    full_hw = tuple(dataset.lsm_full_domain.shape)
+    dates = tuple(dataset.common_dates)
+    d = len(dates)
+
+    hr_np = np.empty((d, *full_hw), np.float32)
+    lr_names = tuple(sorted(c.name for c in dataset.lr_conditions))
+    by_name = {c.name: c for c in dataset.lr_conditions}
+    lr_np = np.empty((d, *full_hw, len(lr_names)), np.float32)
+    for i, date in enumerate(dates):
+        hr_np[i] = dataset._load_field(
+            dataset.hr, dataset._hr_group, dataset._hr_map[date], None, full_hw
+        )
+        for ci, name in enumerate(lr_names):
+            src = by_name[name]
+            lr_np[i, ..., ci] = dataset._load_field(
+                src,
+                dataset._lr_groups[name],
+                dataset._lr_maps[name][date],
+                None,
+                full_hw,
+            )
+
+    from sbgm_danra_tpu.data.dataset import classifier_from_date
+
+    if dataset.conditional_seasons:
+        classes = np.asarray(
+            [classifier_from_date(date, dataset.n_classes) for date in dates],
+            np.int32,
+        )
+    else:
+        classes = np.zeros((d,), np.int32)
+
+    lsm = (np.asarray(dataset.lsm_full_domain, np.float32) > 0.5).astype(np.float32)
+    topo = np.asarray(dataset.topo_full_domain, np.float32)
+    if dataset._topo_scale is not None:
+        topo = np.asarray(dataset._topo_scale(topo), np.float32)
+
+    stacks = DeviceStacks(
+        hr=jax.device_put(jnp.asarray(hr_np, dtype)),
+        lr=jax.device_put(jnp.asarray(lr_np, dtype)),
+        lr_names=lr_names,
+        lsm=jax.device_put(jnp.asarray(lsm, dtype)),
+        topo=jax.device_put(jnp.asarray(topo, dtype)),
+        classifier=jax.device_put(jnp.asarray(classes)),
+        dates=dates,
+    )
+    logger.info(
+        "device stacks: %d days at %dx%d, %d LR conds, %.2f GiB resident",
+        d, full_hw[0], full_hw[1], len(lr_names), stacks.nbytes() / 2**30,
+    )
+    return stacks
+
+
+def make_batch_sampler(
+    stacks: DeviceStacks,
+    crop_hw: Tuple[int, int],
+    cutout_domains: Optional[Sequence[int]],
+    batch_size: int,
+    cfg_dropout_prob: float = 0.0,
+    with_sdf: bool = True,
+):
+    """Compiled ``key -> batch`` drawing random days + crops from the stacks.
+
+    Returns batches in the score-model kwargs contract ({x, cond_img,
+    lsm_cond, topo_cond, y, sdf, lsm_hr} — data/loader.py extract_batch's
+    output), entirely on device.
+    """
+    full_h, full_w = stacks.lsm.shape
+    ch, cw = crop_hw
+    if cutout_domains is not None:
+        x1, x2, y1, y2 = (int(v) for v in cutout_domains)
+    else:
+        x1, x2, y1, y2 = 0, full_h, 0, full_w
+    if ch > x2 - x1 or cw > y2 - y1:
+        raise ValueError("Crop size is larger than the rectangle dimensions.")
+    n_days = stacks.n_days
+    n_lr = stacks.lr.shape[-1]
+    b = batch_size
+
+    def crop_day(stack, day, ox, oy, c):
+        # stack: [D, H, W, C]; one sample's crop
+        return jax.lax.dynamic_slice(stack, (day, ox, oy, 0), (1, ch, cw, c))[0]
+
+    def crop_static(field, ox, oy):
+        return jax.lax.dynamic_slice(field, (ox, oy), (ch, cw))
+
+    def sample(key: jax.Array) -> Dict[str, jax.Array]:
+        kd, kx, ky, kdrop = jax.random.split(key, 4)
+        day = jax.random.randint(kd, (b,), 0, n_days)
+        ox = x1 + jax.random.randint(kx, (b,), 0, x2 - x1 - ch + 1)
+        oy = y1 + jax.random.randint(ky, (b,), 0, y2 - y1 - cw + 1)
+
+        x = jax.vmap(lambda d_, o_, p_: crop_day(stacks.hr[..., None], d_, o_, p_, 1))(
+            day, ox, oy
+        )
+        cond = jax.vmap(lambda d_, o_, p_: crop_day(stacks.lr, d_, o_, p_, n_lr))(
+            day, ox, oy
+        )
+        lsm_crop = jax.vmap(lambda o_, p_: crop_static(stacks.lsm, o_, p_))(ox, oy)
+        topo_crop = jax.vmap(lambda o_, p_: crop_static(stacks.topo, o_, p_))(ox, oy)
+        lsm_bin = (lsm_crop > 0.5).astype(x.dtype)
+        y = stacks.classifier[day]
+
+        if cfg_dropout_prob > 0.0:
+            keep = (
+                jax.random.uniform(kdrop, (b,)) >= cfg_dropout_prob
+            ).astype(x.dtype)
+        else:
+            keep = jnp.ones((b,), x.dtype)
+        cond = cond * keep[:, None, None, None]
+        y = (y * keep.astype(jnp.int32)).astype(jnp.int32)
+        mask = jnp.broadcast_to(keep[:, None, None, None], (b, ch, cw, 1))
+        lsm_cond = jnp.concatenate([lsm_bin[..., None], mask], axis=-1)
+        topo_cond = jnp.concatenate([topo_crop[..., None], mask], axis=-1)
+
+        out = {
+            "x": x,
+            "cond_img": cond,
+            "lsm_cond": lsm_cond,
+            "topo_cond": topo_cond,
+            "y": y,
+            "lsm_hr": lsm_bin[..., None],
+        }
+        if with_sdf:
+            sdf = jax.vmap(generate_sdf_device)(lsm_bin)
+            out["sdf"] = sdf[..., None].astype(x.dtype)
+        return out
+
+    return jax.jit(sample)
+
+
+class DeviceDataLoader:
+    """Loader-shaped facade over the compiled sampler.
+
+    Quacks like data/loader.py DataLoader (len / set_epoch / iteration) but
+    yields device-resident batches already in model-kwargs form; the training
+    pipeline detects ``is_device_loader`` and skips extract_batch + host
+    prefetch. Per-(epoch, step) key folding keeps epochs reproducible.
+    """
+
+    is_device_loader = True
+
+    def __init__(
+        self,
+        dataset: DanraDataset,
+        batch_size: int,
+        steps_per_epoch: Optional[int] = None,
+        seed: int = 0,
+        cfg_dropout_prob: float = 0.0,
+        with_sdf: bool = True,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.stacks = build_device_stacks(dataset, dtype)
+        self._sample = make_batch_sampler(
+            self.stacks,
+            tuple(dataset.hr_data_size),
+            dataset.cutout_domains if dataset.cutouts else None,
+            batch_size=batch_size,
+            cfg_dropout_prob=cfg_dropout_prob if dataset.cfg_dropout_enabled else 0.0,
+            with_sdf=with_sdf,
+        )
+        self.seed = seed
+        self.epoch = 0
+        self.steps_per_epoch = steps_per_epoch
+
+    def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
+        return self._sample(key)
+
+    def __len__(self) -> int:
+        if self.steps_per_epoch:
+            return self.steps_per_epoch
+        return max(1, len(self.dataset) // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        base = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch)
+        for step in range(len(self)):
+            yield self._sample(jax.random.fold_in(base, step))
+        self.epoch += 1

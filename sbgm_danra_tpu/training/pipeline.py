@@ -85,7 +85,12 @@ class TrainingPipeline:
 
         # state init from one sample batch
         self.rng, init_rng = jax.random.split(self.rng)
-        sample = extract_batch(next(iter(train_loader)), cfg.highres.variable)
+        first = next(iter(train_loader))
+        sample = (
+            first
+            if getattr(train_loader, "is_device_loader", False)
+            else extract_batch(first, cfg.highres.variable)
+        )
         self._init_kwargs = {
             k: jnp.asarray(v)
             for k, v in sample.items()
@@ -142,6 +147,11 @@ class TrainingPipeline:
     # -- epoch internals ------------------------------------------------------
 
     def _batches(self, loader: DataLoader) -> Iterable[Dict]:
+        if getattr(loader, "is_device_loader", False):
+            # batches are already device-resident model kwargs; no extract,
+            # no host prefetch (there is no host->device copy to hide)
+            yield from loader
+            return
         raw = (extract_batch(b, self.cfg.highres.variable) for b in loader)
         if self.mesh is not None:
             n_dev = self.mesh.devices.size

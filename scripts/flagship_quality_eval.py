@@ -1,0 +1,220 @@
+"""Learned-model ensemble quality study (VERDICT r2 item 1).
+
+Evaluates the flagship checkpoint trained by configs/flagship_synth.yaml — the
+loop the reference never completed (its training.py:424-508 epoch loop died in
+epoch 1; evaluate_sbgm/evaluation.py:266-443 is the metric surface re-created
+here, extended with ensemble CRPS/spread-skill/rank histograms):
+
+1. deterministic test-split conditions (fixed crop per date);
+2. K-member ensembles with EDM-35+churn (the fast path) AND PC-1000 (the
+   reference-parity sampler) at CFG w=3, from the SAME learned score;
+3. per-date CRPS, ensemble-mean RMSE, spread/skill, pooled rank histogram —
+   in normalized model space and back-transformed physical units;
+4. CFG effect: w in {0, 3, 7} with EDM;
+5. generated-vs-truth radial power spectra (log-space MSE).
+
+Writes JSON (+ a markdown table fragment for BASELINE.md) to the sample dir.
+
+Usage:  python scripts/flagship_quality_eval.py [--config configs/flagship_synth.yaml]
+        [--n_dates 16] [--members 32] [--skip_pc]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/flagship_synth.yaml")
+    p.add_argument("--n_dates", type=int, default=16)
+    p.add_argument("--members", type=int, default=32)
+    p.add_argument("--skip_pc", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sbgm_danra_tpu.cli.entries import _back_transforms, _load_pipeline_for_sampling
+    from sbgm_danra_tpu.config import load_config
+    from sbgm_danra_tpu.data.factory import make_dataset
+    from sbgm_danra_tpu.data.loader import extract_batch
+    from sbgm_danra_tpu.evaluate.crps import crps_ensemble
+    from sbgm_danra_tpu.pipelines.comparison import (
+        compute_2d_power_spectrum,
+        radial_average,
+    )
+    from sbgm_danra_tpu.sampling.samplers import SamplerConfig, get_sampler
+    from sbgm_danra_tpu.compile_options import compile_lowered
+
+    cfg = load_config(args.config)
+    # eval-only process: host loaders are fine for checkpoint loading and the
+    # handful of test conditions; don't upload the train split to HBM.
+    load_cfg = copy.deepcopy(cfg)
+    load_cfg.data_handling.device_dataset = False
+    load_cfg.training.batch_size = 4
+    pipeline, _ = _load_pipeline_for_sampling(load_cfg)
+    back = _back_transforms(cfg)
+    score_fn = pipeline.score_fn(use_ema=cfg.training.load_ema)
+    sde = pipeline.sde
+
+    # ---- deterministic test conditions -------------------------------------
+    ds = make_dataset(load_cfg, "test")
+    n_dates = min(args.n_dates, len(ds))
+    samples = [
+        ds.__getitem__(i, rng=np.random.default_rng((1234, i))) for i in range(n_dates)
+    ]
+    from sbgm_danra_tpu.data.loader import collate
+
+    batch = extract_batch(collate(samples), cfg.highres.variable)
+    truth = np.asarray(batch["x"])[..., 0]  # [N, H, W] normalized space
+    h, w = truth.shape[1:]
+    k = args.members
+
+    def tile_members(arr):
+        # [N, ...] -> [N*K, ...] (member-major per date: date i occupies i*K:(i+1)*K)
+        return np.repeat(np.asarray(arr), k, axis=0)
+
+    cond = {
+        key: jnp.asarray(tile_members(batch[key]))
+        for key in ("y", "cond_img", "lsm_cond", "topo_cond")
+        if key in batch
+    }
+    total = n_dates * k
+    shape = (total, h, w, 1)
+    g = cfg.classifier_free_guidance
+
+    def run_sampler(name, num_steps, guidance, s_churn=0.0, seed=0):
+        sampler = get_sampler(name)
+        scfg = SamplerConfig(
+            num_steps=num_steps,
+            snr=cfg.sampler.snr,
+            eps=cfg.sampler.t_eps,
+            guidance_scale=guidance,
+            guidance_scale_max=g.guidance_scale_max,
+            edm_rho=cfg.sampler.edm_rho,
+            s_churn=s_churn,
+        )
+        fn = jax.jit(lambda key, c: sampler(score_fn, key, shape, sde, scfg, cond=c))
+        t0 = time.time()
+        lowered = fn.lower(jax.random.PRNGKey(seed), cond)
+        compiled = compile_lowered(lowered)
+        t_compile = time.time() - t0
+        t0 = time.time()
+        out = np.asarray(jax.block_until_ready(compiled(jax.random.PRNGKey(seed), cond)))
+        t_run = time.time() - t0
+        members = out[..., 0].reshape(n_dates, k, h, w)
+        return members, t_compile, t_run
+
+    def metrics(members):
+        """members [N, K, H, W] vs truth [N, H, W]; normalized + physical."""
+        out = {}
+        for space, mem, tru in (
+            ("normalized", members, truth),
+            (
+                "physical",
+                np.asarray(back["generated"](members)) if "generated" in back else None,
+                np.asarray(back["generated"](truth)) if "generated" in back else None,
+            ),
+        ):
+            if mem is None:
+                continue
+            crps = np.mean(
+                [crps_ensemble(mem[i], tru[i]).mean() for i in range(n_dates)]
+            )
+            mean = mem.mean(axis=1)
+            rmse = float(np.sqrt(((mean - tru) ** 2).mean()))
+            # fair spread/skill: sqrt((K+1)/K) * ensemble std vs mean RMSE
+            spread = float(
+                np.sqrt(((mem - mean[:, None]) ** 2).sum(axis=1).mean() / (k - 1))
+            )
+            ss = spread * np.sqrt((k + 1) / k) / rmse if rmse > 0 else np.nan
+            out[space] = {
+                "crps": float(crps),
+                "rmse_mean": rmse,
+                "spread": spread,
+                "spread_skill": float(ss),
+            }
+        # pooled rank histogram (normalized space, subsampled pixels)
+        rng = np.random.default_rng(0)
+        ii = rng.integers(0, h, 400)
+        jj = rng.integers(0, w, 400)
+        ranks = (members[:, :, ii, jj] < truth[:, None, ii, jj]).sum(axis=1).ravel()
+        hist, _ = np.histogram(ranks, bins=np.arange(k + 2) - 0.5)
+        out["rank_histogram"] = (hist / hist.sum()).round(5).tolist()
+        # spectra: radial power of generated mean-member vs truth
+        def spec(fields):
+            ps = np.mean([compute_2d_power_spectrum(f) for f in fields], axis=0)
+            return radial_average(ps)
+        s_truth = spec(truth)
+        s_gen = spec(members.reshape(-1, h, w)[:: max(1, k // 4)])
+        eps = 1e-12
+        out["spectrum_log_mse"] = float(
+            np.mean((np.log(s_gen + eps) - np.log(s_truth + eps)) ** 2)
+        )
+        return out
+
+    results = {"n_dates": n_dates, "members": k, "image_hw": [h, w]}
+
+    edm, tc, tr = run_sampler(
+        "edm_sampler", cfg.sampler.n_timesteps, g.guidance_scale, cfg.sampler.s_churn
+    )
+    results["edm_w3"] = metrics(edm)
+    results["edm_w3"]["compile_s"] = round(tc, 2)
+    results["edm_w3"]["run_s"] = round(tr, 3)
+    print("EDM-35+churn w=3:", json.dumps(results["edm_w3"], indent=2)[:400])
+
+    for wgt in (0.0, 7.0):
+        m_, tc, tr = run_sampler(
+            "edm_sampler", cfg.sampler.n_timesteps,
+            None if wgt == 0.0 else wgt, cfg.sampler.s_churn, seed=1,
+        )
+        key = f"edm_w{int(wgt)}"
+        results[key] = metrics(m_)
+        results[key]["run_s"] = round(tr, 3)
+        print(key, "crps:", results[key]["normalized"]["crps"])
+
+    if not args.skip_pc:
+        pc, tc, tr = run_sampler("pc_sampler", 1000, g.guidance_scale)
+        results["pc1000_w3"] = metrics(pc)
+        results["pc1000_w3"]["compile_s"] = round(tc, 2)
+        results["pc1000_w3"]["run_s"] = round(tr, 3)
+        print("PC-1000 w=3:", json.dumps(results["pc1000_w3"], indent=2)[:400])
+
+    out_path = args.out or os.path.join(
+        cfg.paths.sample_dir, "flagship_quality_eval.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", out_path)
+
+    # markdown fragment for BASELINE.md
+    rows = []
+    for name in ("pc1000_w3", "edm_w3", "edm_w0", "edm_w7"):
+        r = results.get(name)
+        if not r:
+            continue
+        nrm = r["normalized"]
+        rows.append(
+            f"| {name} | {nrm['crps']:.4f} | {nrm['rmse_mean']:.4f} | "
+            f"{nrm['spread_skill']:.3f} | {r.get('spectrum_log_mse', float('nan')):.3f} | "
+            f"{r.get('run_s', '')} |"
+        )
+    print("\n| sampler | CRPS | RMSE(mean) | spread/skill | spec logMSE | run_s |")
+    print("|---|---|---|---|---|---|")
+    print("\n".join(rows))
+
+
+if __name__ == "__main__":
+    main()

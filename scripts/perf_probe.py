@@ -393,7 +393,67 @@ def probe_dump():
     print(json.dumps({"probe": "dump", "chars": len(txt)}))
 
 
+def probe_loader():
+    """End-to-end input-pipeline throughput (VERDICT r2 item 2).
+
+    Sustained host-loader samples/s on production-layout stores (589x789 zarr,
+    configs/flagship_synth.yaml by default) per batch size and worker count,
+    with and without the C++ chunk codec — reported against the device
+    ceiling (BASELINE r2: 4589 samples/s at batch 128) and the device-resident
+    sampler (data/device_data.py). Run `--mode synthetic_data` first.
+
+    Env: SBGM_PROBE_CONFIG, SBGM_PROBE_BATCHES (default "16,64,128"),
+    SBGM_PROBE_LOADER_STEPS (default 6), SBGM_PROBE_DEVICE_DATA=1 to also
+    time the compiled device sampler.
+    """
+    import sbgm_danra_tpu.data.native_codec as nc
+    from sbgm_danra_tpu.config import load_config
+    from sbgm_danra_tpu.data.factory import make_dataset
+    from sbgm_danra_tpu.data.loader import DataLoader
+
+    cfg = load_config(os.environ.get("SBGM_PROBE_CONFIG", "configs/flagship_synth.yaml"))
+    batches = [int(b) for b in os.environ.get("SBGM_PROBE_BATCHES", "16,64,128").split(",")]
+    steps = int(os.environ.get("SBGM_PROBE_LOADER_STEPS", "6"))
+    ds = make_dataset(cfg, "train")
+    results = {}
+    nc.load_library()
+    saved = nc._lib
+    for codec in (True, False):
+        nc._lib = saved if codec else None
+        for workers in (1, 4):
+            for b in batches:
+                loader = DataLoader(ds, batch_size=b, shuffle=True, drop_last=True,
+                                    num_workers=workers, seed=0)
+                it = iter(loader)
+                next(it)  # steady state: pools warm, page cache hot
+                t0 = time.perf_counter()
+                n = 0
+                for _ in range(steps):
+                    try:
+                        next(it)
+                        n += b
+                    except StopIteration:
+                        break
+                dt = time.perf_counter() - t0
+                key = f"codec={int(codec)} workers={workers} batch={b}"
+                results[key] = round(n / dt, 1)
+                print(json.dumps({"probe": "loader", key: results[key], "unit": "samples/s"}))
+    nc._lib = saved
+
+    if os.environ.get("SBGM_PROBE_DEVICE_DATA"):
+        from sbgm_danra_tpu.data.device_data import DeviceDataLoader
+
+        for b in batches:
+            dl = DeviceDataLoader(ds, batch_size=b, seed=0,
+                                  cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob)
+            dt = _time(dl.sample, jax.random.PRNGKey(0), n=20)
+            print(json.dumps({
+                "probe": "device_sampler", f"batch={b}": round(b / dt, 1),
+                "unit": "samples/s", "ms_per_batch": round(dt * 1e3, 2),
+            }))
+
+
 if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
      "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
-     "train": probe_train, "dump": probe_dump}[sys.argv[1]]()
+     "train": probe_train, "dump": probe_dump, "loader": probe_loader}[sys.argv[1]]()
