@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 from sbgm_danra_tpu.config import load_config, parse_override
 from sbgm_danra_tpu.data.paths import build_data_path
@@ -37,6 +38,13 @@ def main(argv=None) -> None:
                              "aggregated composites (reference statistics.py:17-107)")
     parser.add_argument("--agg_method", default="mean",
                         choices=["mean", "sum", "max", "min"])
+    parser.add_argument("--figures", action="store_true",
+                        help="run_statistics/run_correlation: also write the "
+                             "per-variable stats and correlation figures "
+                             "(reference stats_analysis/plotting.py + "
+                             "correlation_plotting.py)")
+    parser.add_argument("--max_days", type=int, default=None,
+                        help="figure series cap (streaming figure data)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -51,6 +59,23 @@ def main(argv=None) -> None:
         from sbgm_danra_tpu.pipelines.stats_pipeline import run_data_statistics
 
         run_data_statistics(cfg)
+        if args.figures:
+            from sbgm_danra_tpu.pipelines.figures import (
+                per_timestep_series,
+                plot_variable_statistics,
+            )
+
+            fig_dir = os.path.join(cfg.paths.sample_dir, "figures", "statistics")
+            jobs = [(hr.model, hr.variable, hr.full_domain_dims, hr.cutout_domains)] + [
+                (lr.model, v, lr.full_domain_dims, lr.cutout_domains)
+                for v in (lr.condition_variables or ())
+            ]
+            for model, var, dims, crop in jobs:
+                store = build_data_path(cfg.paths.data_dir, model, var, dims, "all")
+                series = per_timestep_series(
+                    store, var, model, crop=crop, max_days=args.max_days
+                )
+                plot_variable_statistics(var, model, series, fig_dir)
         if args.agg_time:
             import datetime
 
@@ -139,6 +164,13 @@ def main(argv=None) -> None:
                 hr.variable, lr_var,
                 out["temporal_pearson"], out["temporal_spearman"],
             )
+            if args.figures:
+                from sbgm_danra_tpu.pipelines.figures import plot_correlation_figures
+
+                plot_correlation_figures(
+                    out, hr.variable, lr_var, hr.model, lr.model,
+                    os.path.join(cfg.paths.sample_dir, "figures", "correlations"),
+                )
 
 
 if __name__ == "__main__":

@@ -104,6 +104,10 @@ def run_correlations(
     out: Dict[str, object] = {"dates": dates, "n_days": len(dates)}
     mean_hr = hr.mean(axis=(1, 2))
     mean_lr = lr.mean(axis=(1, 2))
+    # domain-mean series kept for the correlation figures
+    # (pipelines/figures.py plot_correlation_figures)
+    out["mean_series_hr"] = mean_hr
+    out["mean_series_lr"] = mean_lr
     for method in methods:
         out[f"temporal_{method}"] = compute_temporal_correlation(mean_hr, mean_lr, method)
         out[f"spatial_{method}"] = compute_spatial_correlation(hr, lr, method)
