@@ -72,6 +72,12 @@ def run_mode(cfg: Config, mode: str, args) -> None:
             if cfg.highres.cutout_domains
             else None,
         )
+        if args.no_all_split:
+            # train/valid/test only: the 'all' split duplicates every field
+            # (2x write volume) and is needed only by the data-analysis modes
+            spec.splits = {
+                k: v for k, v in spec.resolved_splits().items() if k != "all"
+            }
         written = generate(spec)
         logger.info("synthetic data written under %s", cfg.paths.data_dir)
         for k, v in written.items():
@@ -108,6 +114,8 @@ def main(argv=None) -> None:
     parser.add_argument("--skip_generation", action="store_true")
     parser.add_argument("--skip_evaluation", action="store_true")
     parser.add_argument("--n_days", type=int, default=64, help="synthetic_data days")
+    parser.add_argument("--no_all_split", action="store_true",
+                        help="synthetic_data: skip the duplicate 'all' split")
     parser.add_argument(
         "overrides", nargs="*", help="dot-key config overrides, e.g. training.epochs=3"
     )
