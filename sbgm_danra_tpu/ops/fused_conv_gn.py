@@ -1,0 +1,128 @@
+"""Pallas fused conv3x3 + GroupNorm(+ReLU) epilogue — the decoder-chain probe.
+
+VERDICT r2 item 5 asks for ONE Pallas prototype of the decoder's hottest
+chain (DecoderBlock: conv3x3 -> GroupNorm -> activation, models/unet.py) to
+bound the 2x roofline gap of the contract-batch sampler. The idea: XLA lowers
+the chain as conv (write out) -> GN stats (read) -> normalize (read+write);
+computing the conv as nine shifted MXU matmuls INSIDE a Pallas kernel lets the
+group statistics accumulate while the conv output is still in VMEM, deleting
+one full HBM read of the activation. The normalize+affine+activation epilogue
+stays in XLA (it fuses with whatever consumes the block).
+
+Layout: one grid step per batch sample; the padded input image lives in VMEM
+whole (decoder maps at 128px and below fit comfortably under the 32 MiB
+scoped-VMEM compile option the framework ships). fp32 accumulation, bf16-or-
+fp32 in/out.
+
+Measured verdicts live in docs/DESIGN.md section 4a; like every other
+source-level lowering rewrite probed in r2, this ships switchable and OFF by
+default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, stats_ref, *, h, w, cin, cout, groups):
+    """One batch sample: conv3x3 (nine shifted matmuls) + group sum/sumsq."""
+    x = x_ref[0]  # [h+2, w+2, cin] (already zero-padded)
+    acc = jnp.zeros((h * w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x[dy : dy + h, dx : dx + w, :].reshape(h * w, cin)
+            acc = acc + jnp.dot(
+                xs, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    acc = acc + b_ref[...].astype(jnp.float32)[None, :]
+    o_ref[0] = acc.reshape(h, w, cout).astype(o_ref.dtype)
+    g = acc.reshape(h * w, groups, cout // groups)
+    stats_ref[0, 0] = jnp.sum(g, axis=(0, 2))
+    stats_ref[0, 1] = jnp.sum(g * g, axis=(0, 2))
+
+
+def conv3x3_gn_relu(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    gamma: Array,
+    beta: Array,
+    groups: int = 8,
+    eps: float = 1e-5,
+    activation: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """SAME conv3x3 + GroupNorm + optional ReLU. x: [N, H, W, Cin] -> Cout.
+
+    Exact vs the nn.Conv + nn.GroupNorm + relu chain (float tolerance);
+    tests/test_fused_conv_gn.py pins it.
+    """
+    n, h, w_, cin = x.shape
+    cout = kernel.shape[-1]
+    if cout % groups != 0:
+        raise ValueError(f"cout {cout} not divisible by groups {groups}")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out_dtype = x.dtype
+
+    conv, stats = pl.pallas_call(
+        functools.partial(
+            _kernel, h=h, w=w_, cin=cin, cout=cout, groups=groups
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w_ + 2, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w_, cout), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, groups), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w_, cout), out_dtype),
+            jax.ShapeDtypeStruct((n, 2, groups), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, kernel, bias)
+
+    cpg = cout // groups
+    count = h * w_ * cpg
+    mean = stats[:, 0, :] / count  # [n, groups]
+    var = stats[:, 1, :] / count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)  # [n, groups]
+    # broadcast per-group stats to channels
+    mean_c = jnp.repeat(mean, cpg, axis=-1)[:, None, None, :]
+    inv_c = jnp.repeat(inv, cpg, axis=-1)[:, None, None, :]
+    y = (conv.astype(jnp.float32) - mean_c) * inv_c
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if activation:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(out_dtype)
+
+
+def reference_chain(
+    x: Array, kernel: Array, bias: Array, gamma: Array, beta: Array,
+    groups: int = 8, eps: float = 1e-5, activation: bool = True,
+) -> Array:
+    """The XLA baseline the kernel replaces (conv -> GN -> relu)."""
+    conv = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    n, h, w_, c = conv.shape
+    g = conv.astype(jnp.float32).reshape(n, h, w_, groups, c // groups)
+    mean = g.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((g - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    y = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w_, c)
+    y = y * gamma + beta
+    if activation:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)

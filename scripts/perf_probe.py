@@ -393,6 +393,47 @@ def probe_dump():
     print(json.dumps({"probe": "dump", "chars": len(txt)}))
 
 
+def probe_fused_gn():
+    """Pallas conv3x3+GN+ReLU vs the XLA chain on the decoder's two largest
+    GN chains (VERDICT r2 item 5, second avenue). Shapes from the flagship
+    decoder at the CFG-doubled contract batch 26 @128px: block3 (64x64, C64)
+    and block2 (32x32, C128->64)."""
+    from sbgm_danra_tpu.ops.fused_conv_gn import conv3x3_gn_relu, reference_chain
+
+    dt16 = jnp.bfloat16
+    cases = [
+        ("block3_64px_c64", (BATCH, 64, 64, 64), 64),
+        ("block2_32px_c128", (BATCH, 32, 32, 128), 64),
+    ]
+    for name, shape, cout in cases:
+        cin = shape[-1]
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 5)
+        w = (jax.random.normal(ks[0], (3, 3, cin, cout)) * 0.05).astype(dt16)
+        b = jnp.zeros((cout,), dt16)
+        gamma = jnp.ones((cout,), dt16)
+        beta = jnp.zeros((cout,), dt16)
+
+        def make_input(i):
+            return (jax.random.normal(jax.random.fold_in(ks[1], i), shape).astype(dt16),)
+
+        for impl, fn in (
+            ("xla", lambda: lambda x: reference_chain(x, w, b, gamma, beta, 8)),
+            ("pallas", lambda: lambda x: conv3x3_gn_relu(x, w, b, gamma, beta, 8)),
+        ):
+            try:
+                dt = _device_time(fn, make_input, k=16)
+                print(json.dumps({
+                    "probe": "fused_gn", "case": name, "impl": impl,
+                    "ms": round(dt * 1e3, 4),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "probe": "fused_gn", "case": name, "impl": impl,
+                    "error": f"{type(e).__name__}: {str(e)[-200:]}",
+                }), flush=True)
+
+
 def probe_loader():
     """End-to-end input-pipeline throughput (VERDICT r2 item 2).
 
@@ -456,4 +497,5 @@ def probe_loader():
 if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
      "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
-     "train": probe_train, "dump": probe_dump, "loader": probe_loader}[sys.argv[1]]()
+     "train": probe_train, "dump": probe_dump, "loader": probe_loader,
+     "fused_gn": probe_fused_gn}[sys.argv[1]]()
