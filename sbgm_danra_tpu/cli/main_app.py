@@ -121,6 +121,15 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    if os.environ.get("SBGM_FORCE_CPU") == "1":
+        # The environment pins the TPU platform before any env var can take
+        # effect (jax is imported at interpreter startup); in-process config
+        # update is the only reliable CPU switch, and host-only modes must not
+        # claim the (single-tenant) TPU.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     logging.basicConfig(level=logging.INFO)
     overrides = dict(parse_override(s) for s in args.overrides)
     cfg = load_config(args.config_path, overrides)

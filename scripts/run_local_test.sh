@@ -3,6 +3,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export JAX_PLATFORMS=cpu
+export SBGM_FORCE_CPU=1   # env var alone is overridden by the pinned platform
 python -m sbgm_danra_tpu.cli.main_app --config_path configs/debug.yaml \
     --mode synthetic_data --n_days 32
 python -m sbgm_danra_tpu.cli.main_app --config_path configs/debug.yaml \
