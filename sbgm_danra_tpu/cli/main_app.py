@@ -121,14 +121,29 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    import jax
+
     if os.environ.get("SBGM_FORCE_CPU") == "1":
         # The environment pins the TPU platform before any env var can take
         # effect (jax is imported at interpreter startup); in-process config
         # update is the only reliable CPU switch, and host-only modes must not
         # claim the (single-tenant) TPU.
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compile cache: remote (tunnel) compiles of the flagship
+    # train/sampler programs run minutes-to-tens-of-minutes; cache them like
+    # bench.py and the probe scripts do so reruns are seconds.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # kill -USR1 <pid> dumps every thread's Python stack to stderr — the only
+    # way to see where a long remote compile / stalled run is without a
+    # debugger in this image.
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
     logging.basicConfig(level=logging.INFO)
     overrides = dict(parse_override(s) for s in args.overrides)

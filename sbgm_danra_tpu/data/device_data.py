@@ -151,6 +151,13 @@ def make_batch_sampler(
     Returns batches in the score-model kwargs contract ({x, cond_img,
     lsm_cond, topo_cond, y, sdf, lsm_hr} — data/loader.py extract_batch's
     output), entirely on device.
+
+    The stacks enter the jitted program as ARGUMENTS, never as closure
+    captures: a closed-over jax.Array is lowered as an inline MLIR constant,
+    which (a) copies the whole split device->host at trace time — tens of
+    minutes for a 1.4 GiB stack over a remote-platform tunnel — and (b) ships
+    it back inside the compile request. Passing them as args keeps lowering
+    O(metadata) and lets XLA alias the resident buffers.
     """
     full_h, full_w = stacks.lsm.shape
     ch, cw = crop_hw
@@ -171,22 +178,29 @@ def make_batch_sampler(
     def crop_static(field, ox, oy):
         return jax.lax.dynamic_slice(field, (ox, oy), (ch, cw))
 
-    def sample(key: jax.Array) -> Dict[str, jax.Array]:
+    def sample(
+        key: jax.Array,
+        hr: jax.Array,
+        lr: jax.Array,
+        lsm_full: jax.Array,
+        topo_full: jax.Array,
+        classifier: jax.Array,
+    ) -> Dict[str, jax.Array]:
         kd, kx, ky, kdrop = jax.random.split(key, 4)
         day = jax.random.randint(kd, (b,), 0, n_days)
         ox = x1 + jax.random.randint(kx, (b,), 0, x2 - x1 - ch + 1)
         oy = y1 + jax.random.randint(ky, (b,), 0, y2 - y1 - cw + 1)
 
-        x = jax.vmap(lambda d_, o_, p_: crop_day(stacks.hr[..., None], d_, o_, p_, 1))(
+        x = jax.vmap(lambda d_, o_, p_: crop_day(hr[..., None], d_, o_, p_, 1))(
             day, ox, oy
         )
-        cond = jax.vmap(lambda d_, o_, p_: crop_day(stacks.lr, d_, o_, p_, n_lr))(
+        cond = jax.vmap(lambda d_, o_, p_: crop_day(lr, d_, o_, p_, n_lr))(
             day, ox, oy
         )
-        lsm_crop = jax.vmap(lambda o_, p_: crop_static(stacks.lsm, o_, p_))(ox, oy)
-        topo_crop = jax.vmap(lambda o_, p_: crop_static(stacks.topo, o_, p_))(ox, oy)
+        lsm_crop = jax.vmap(lambda o_, p_: crop_static(lsm_full, o_, p_))(ox, oy)
+        topo_crop = jax.vmap(lambda o_, p_: crop_static(topo_full, o_, p_))(ox, oy)
         lsm_bin = (lsm_crop > 0.5).astype(x.dtype)
-        y = stacks.classifier[day]
+        y = classifier[day]
 
         if cfg_dropout_prob > 0.0:
             keep = (
@@ -213,7 +227,14 @@ def make_batch_sampler(
             out["sdf"] = sdf[..., None].astype(x.dtype)
         return out
 
-    return jax.jit(sample)
+    jitted = jax.jit(sample)
+
+    def call(key: jax.Array) -> Dict[str, jax.Array]:
+        return jitted(
+            key, stacks.hr, stacks.lr, stacks.lsm, stacks.topo, stacks.classifier
+        )
+
+    return call
 
 
 class DeviceDataLoader:

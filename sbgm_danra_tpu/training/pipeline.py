@@ -85,7 +85,9 @@ class TrainingPipeline:
 
         # state init from one sample batch
         self.rng, init_rng = jax.random.split(self.rng)
+        logger.info("drawing first batch (compiles the device batch sampler)...")
         first = next(iter(train_loader))
+        jax.block_until_ready(first)
         sample = (
             first
             if getattr(train_loader, "is_device_loader", False)
@@ -96,7 +98,10 @@ class TrainingPipeline:
             for k, v in sample.items()
             if k in ("x", "y", "cond_img", "lsm_cond", "topo_cond")
         }
+        logger.info("initializing train state (model init compile)...")
         self.state = create_train_state(cfg, self.model, self._init_kwargs, init_rng)
+        jax.block_until_ready(self.state.params)
+        logger.info("train state initialized")
 
         self.mesh = mesh
         self.batch_sharding = None
@@ -201,7 +206,12 @@ class TrainingPipeline:
                 break
             timer.tick()
             self.rng, step_rng = jax.random.split(self.rng)
+            if i == 0 and self.epoch == 0:
+                logger.info("first train step (compiles fwd+bwd)...")
             self.state, metrics = self._train_step(self.state, batch, step_rng)
+            if i == 0 and self.epoch == 0:
+                jax.block_until_ready(metrics["loss"])
+                logger.info("first train step done (loss %.4f)", float(metrics["loss"]))
             if cfg.training.detect_anomaly and "finite" in metrics:
                 if not bool(metrics["finite"]):
                     raise FloatingPointError(
