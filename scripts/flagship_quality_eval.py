@@ -39,6 +39,8 @@ def main():
     p.add_argument("--n_dates", type=int, default=16)
     p.add_argument("--members", type=int, default=32)
     p.add_argument("--skip_pc", action="store_true")
+    p.add_argument("--pc_chunk_dates", type=int, default=2,
+                   help="dates per PC-1000 dispatch (RPC-timeout guard)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -94,7 +96,11 @@ def main():
     shape = (total, h, w, 1)
     g = cfg.classifier_free_guidance
 
-    def run_sampler(name, num_steps, guidance, s_churn=0.0, seed=0):
+    def run_sampler(name, num_steps, guidance, s_churn=0.0, seed=0, chunk_dates=None):
+        """chunk_dates: dates per device dispatch. Long single dispatches
+        (PC-1000 at 512 members is ~5 min of device time) trip the remote
+        platform's RPC timeout; chunking keeps each dispatch well under it at
+        identical total compute."""
         sampler = get_sampler(name)
         scfg = SamplerConfig(
             num_steps=num_steps,
@@ -105,15 +111,28 @@ def main():
             edm_rho=cfg.sampler.edm_rho,
             s_churn=s_churn,
         )
-        fn = jax.jit(lambda key, c: sampler(score_fn, key, shape, sde, scfg, cond=c))
+        nd_chunk = chunk_dates or n_dates
+        cshape = (nd_chunk * k, h, w, 1)
+        fn = jax.jit(lambda key, c: sampler(score_fn, key, cshape, sde, scfg, cond=c))
+
+        def cond_slice(d0, d1):
+            return {key: v[d0 * k : d1 * k] for key, v in cond.items()}
+
         t0 = time.time()
-        lowered = fn.lower(jax.random.PRNGKey(seed), cond)
+        lowered = fn.lower(jax.random.PRNGKey(seed), cond_slice(0, nd_chunk))
         compiled = compile_lowered(lowered)
         t_compile = time.time() - t0
         t0 = time.time()
-        out = np.asarray(jax.block_until_ready(compiled(jax.random.PRNGKey(seed), cond)))
+        outs = []
+        for d0 in range(0, n_dates, nd_chunk):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), d0)
+            outs.append(
+                np.asarray(
+                    jax.block_until_ready(compiled(key, cond_slice(d0, d0 + nd_chunk)))
+                )
+            )
         t_run = time.time() - t0
-        members = out[..., 0].reshape(n_dates, k, h, w)
+        members = np.concatenate(outs)[..., 0].reshape(n_dates, k, h, w)
         return members, t_compile, t_run
 
     def metrics(members):
@@ -165,6 +184,14 @@ def main():
         return out
 
     results = {"n_dates": n_dates, "members": k, "image_hw": [h, w]}
+    out_path = args.out or os.path.join(
+        cfg.paths.sample_dir, "flagship_quality_eval.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    def checkpoint_results():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
 
     edm, tc, tr = run_sampler(
         "edm_sampler", cfg.sampler.n_timesteps, g.guidance_scale, cfg.sampler.s_churn
@@ -172,6 +199,7 @@ def main():
     results["edm_w3"] = metrics(edm)
     results["edm_w3"]["compile_s"] = round(tc, 2)
     results["edm_w3"]["run_s"] = round(tr, 3)
+    checkpoint_results()
     print("EDM-35+churn w=3:", json.dumps(results["edm_w3"], indent=2)[:400])
 
     for wgt in (0.0, 7.0):
@@ -182,21 +210,19 @@ def main():
         key = f"edm_w{int(wgt)}"
         results[key] = metrics(m_)
         results[key]["run_s"] = round(tr, 3)
+        checkpoint_results()
         print(key, "crps:", results[key]["normalized"]["crps"])
 
     if not args.skip_pc:
-        pc, tc, tr = run_sampler("pc_sampler", 1000, g.guidance_scale)
+        pc, tc, tr = run_sampler(
+            "pc_sampler", 1000, g.guidance_scale, chunk_dates=args.pc_chunk_dates
+        )
         results["pc1000_w3"] = metrics(pc)
         results["pc1000_w3"]["compile_s"] = round(tc, 2)
         results["pc1000_w3"]["run_s"] = round(tr, 3)
         print("PC-1000 w=3:", json.dumps(results["pc1000_w3"], indent=2)[:400])
 
-    out_path = args.out or os.path.join(
-        cfg.paths.sample_dir, "flagship_quality_eval.json"
-    )
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+    checkpoint_results()
     print("wrote", out_path)
 
     # markdown fragment for BASELINE.md
