@@ -44,9 +44,23 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, stats_ref, *, h, w, cin, cout, groups):
             )
     acc = acc + b_ref[...].astype(jnp.float32)[None, :]
     o_ref[0] = acc.reshape(h, w, cout).astype(o_ref.dtype)
-    g = acc.reshape(h * w, groups, cout // groups)
-    stats_ref[0, 0] = jnp.sum(g, axis=(0, 2))
-    stats_ref[0, 1] = jnp.sum(g * g, axis=(0, 2))
+    # Per-group sums WITHOUT reshaping the lane (channel) dim: Mosaic cannot
+    # lower a lane-dim split (vector<...x64xf32> -> vector<...x8x8xf32> "shape
+    # cast" error on real v5e), so project channel sums onto groups with a
+    # one-hot [cout, groups] matmul instead — an MXU op, no reshape.
+    cpg = cout // groups
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (cout, groups), 0)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (cout, groups), 1)
+    onehot = (cidx // cpg == gidx).astype(jnp.float32)
+    s = jnp.sum(acc, axis=0, keepdims=True)  # [1, cout]
+    ss = jnp.sum(acc * acc, axis=0, keepdims=True)  # [1, cout]
+    stats_ref[0] = jnp.concatenate(
+        [
+            jnp.dot(s, onehot, preferred_element_type=jnp.float32),
+            jnp.dot(ss, onehot, preferred_element_type=jnp.float32),
+        ],
+        axis=0,
+    )
 
 
 def conv3x3_gn_relu(
