@@ -248,6 +248,12 @@ class TrainingConfig:
     remat: bool = False
     # In-graph elastic recovery: skip optimizer updates with non-finite grads.
     skip_nonfinite_updates: bool = False
+    # Best-val checkpoints fire at most every N epochs (final epoch always
+    # eligible). 1 = save on every improvement (reference training.py:477-482
+    # parity). Raise it when the device is remote: a full-state save pulls the
+    # entire state over the tunnel (~15-30 s for the 803 MB flagship), and
+    # early training improves val nearly every epoch.
+    checkpoint_min_interval_epochs: int = 1
 
 
 @dataclass

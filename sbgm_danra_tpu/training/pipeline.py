@@ -277,7 +277,9 @@ class TrainingPipeline:
         epochs = epochs or cfg.training.epochs
         steps_per_epoch = steps_per_epoch or cfg.training.steps_per_epoch
         best_val = min(self.history["val_loss"], default=float("inf"))
-        for _ in range(epochs):
+        save_interval = max(1, cfg.training.checkpoint_min_interval_epochs)
+        last_save_epoch = -save_interval  # first improvement always saves
+        for ep_i in range(epochs):
             t0 = time.time()
             self.train_loader.set_epoch(self.epoch)
             train_loss = self.train_batches(steps_per_epoch)
@@ -293,10 +295,17 @@ class TrainingPipeline:
 
             monitored = val_loss if np.isfinite(val_loss) else train_loss
             self.epoch += 1  # epochs completed; recorded in checkpoint meta
-            # best-val checkpointing (reference training.py:477-482)
-            if monitored < best_val:
+            # best-val checkpointing (reference training.py:477-482), rate-
+            # limited by checkpoint_min_interval_epochs; best_val only moves
+            # when a save actually happens, so the saved best is the best of
+            # all save-eligible epochs, never silently stale.
+            if monitored < best_val and (
+                self.epoch - last_save_epoch >= save_interval
+                or ep_i == epochs - 1
+            ):
                 best_val = monitored
                 self.save(monitored)
+                last_save_epoch = self.epoch
 
             new_lr = self.scheduler.step(monitored)
             self.state = self.state.with_learning_rate(new_lr)

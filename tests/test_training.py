@@ -264,6 +264,28 @@ class TestPipeline:
         assert int(pipe2.state.step) == step_before
         assert pipe2.epoch >= 1
 
+    def test_checkpoint_interval_gates_saves(self, synth_env, tmp_path, monkeypatch):
+        """checkpoint_min_interval_epochs rate-limits best-val saves; the
+        final epoch is always eligible (remote-device tunnels pay ~15-30 s of
+        full-state transfer per save)."""
+        cfg = tiny_config(synth_env)
+        cfg.paths.checkpoint_dir = str(tmp_path / "ckpt_gated")
+        cfg.training.checkpoint_min_interval_epochs = 3
+        train_loader, valid_loader, _ = make_loaders(cfg)
+        pipe = TrainingPipeline(cfg, train_loader, valid_loader)
+        saved_epochs = []
+        monkeypatch.setattr(
+            pipe, "save", lambda val: saved_epochs.append(pipe.epoch)
+        )
+        # force strictly improving val so every epoch WANTS to save
+        monkeypatch.setattr(
+            pipe, "validate_batches", lambda max_steps=None: 100.0 - pipe.epoch
+        )
+        pipe.train(epochs=5, steps_per_epoch=1)
+        # epoch counter is post-increment at save time: improvements at
+        # epochs 1..5 -> saves gate to 1, 4, and the final epoch 5
+        assert saved_epochs == [1, 4, 5]
+
     def test_model_spec_from_config(self, synth_env):
         cfg = tiny_config(synth_env)
         spec = model_spec_from_config(cfg)
