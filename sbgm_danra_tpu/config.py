@@ -254,6 +254,11 @@ class TrainingConfig:
     # entire state over the tunnel (~15-30 s for the 803 MB flagship), and
     # early training improves val nearly every epoch.
     checkpoint_min_interval_epochs: int = 1
+    # Non-blocking checkpoint saves: snapshot the state on device (one cheap
+    # dispatch) and stream the 803 MB full-state write from a worker thread
+    # while training keeps stepping (training/checkpointing.py). The blocking
+    # alternative stalls the chip 14-33 s per save over the remote tunnel.
+    async_checkpointing: bool = True
 
 
 @dataclass

@@ -11,10 +11,12 @@ resume exactly.
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from sbgm_danra_tpu.training.state import TrainState
@@ -31,8 +33,30 @@ def _state_tree(state: TrainState) -> Dict[str, Any]:
     }
 
 
+# Device-side snapshot of a state tree: one compiled dispatch that copies every
+# leaf into fresh HBM buffers (shardings preserved — jit keeps input layouts
+# for an elementwise copy). Needed because the train step DONATES the state
+# (pipeline.py donate_argnums=0): the live buffers are invalidated by the next
+# step, so a background device->host pull of them would race. The snapshot is
+# never donated, so a worker thread can stream it to disk while training runs.
+_snapshot = jax.jit(lambda tree: jax.tree.map(jnp.copy, tree))
+
+
 class CheckpointManager:
-    """Keeps the latest checkpoints and tracks the best validation loss."""
+    """Keeps the latest checkpoints and tracks the best validation loss.
+
+    `save(..., block=False)` hides the checkpoint cost from the training loop:
+    the measured full-state save of the 19M-param flagship is 803 MB and
+    14-33 s of device->host + disk time over the remote-TPU tunnel
+    (BASELINE.md calibration experiment) — blocking, it stalls the chip for
+    whole epochs' worth of steps. Non-blocking saves snapshot the state on
+    DEVICE (one cheap dispatch) and hand the D2H pull + Orbax write to a
+    single worker thread; `jax.device_get` releases the GIL during transfers,
+    so the main thread keeps dispatching train steps. At most one save is in
+    flight (a second request waits for the first), bounding transient HBM at
+    one extra state copy. The reference has no analogue: it torch.save()s
+    inline on the main thread (sbgm/training.py:477-482).
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -45,29 +69,62 @@ class CheckpointManager:
                 best_mode="min",
             ),
         )
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+        self._pending: Optional[concurrent.futures.Future] = None
 
-    def save(self, step: int, state: TrainState, meta: Optional[Dict] = None) -> None:
-        meta = dict(meta or {})
+    def _save_tree(self, step: int, tree: Dict[str, Any], meta: Dict) -> None:
         self._mngr.save(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardSave(_state_tree(state)),
+                state=ocp.args.StandardSave(tree),
                 meta=ocp.args.JsonSave(meta),
             ),
             metrics={"val_loss": float(meta.get("val_loss", float("inf")))},
         )
         self._mngr.wait_until_finished()
 
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        meta: Optional[Dict] = None,
+        block: bool = True,
+    ) -> None:
+        meta = dict(meta or {})
+        if block:
+            self.wait()
+            self._save_tree(step, _state_tree(state), meta)
+            return
+        # Serialize in-flight saves (Orbax manager access stays single-threaded
+        # and transient HBM is bounded at one snapshot), then snapshot and go.
+        self.wait()
+        snap = _snapshot(_state_tree(state))
+        self._pending = self._executor.submit(self._save_tree, step, snap, meta)
+
+    def wait(self) -> None:
+        """Block until any in-flight non-blocking save has committed.
+
+        Re-raises the worker's exception (a failed checkpoint must not be
+        silently dropped — the caller believes it was saved)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
     def best_step(self) -> Optional[int]:
+        self.wait()
         return self._mngr.best_step()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         return self._mngr.latest_step()
 
     def restore(
         self, state: TrainState, step: Optional[int] = None, best: bool = False
     ) -> Tuple[TrainState, Dict]:
         """Restore into the (structurally matching) freshly created state."""
+        self.wait()
         if step is None:
             step = self.best_step() if best else self.latest_step()
         if step is None:
@@ -94,4 +151,6 @@ class CheckpointManager:
         return new_state, dict(restored["meta"] or {})
 
     def close(self) -> None:
+        self.wait()
+        self._executor.shutdown(wait=True)
         self._mngr.close()

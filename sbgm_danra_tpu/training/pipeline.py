@@ -253,7 +253,12 @@ class TrainingPipeline:
         }
 
     def save(self, val_loss: float) -> None:
-        self.checkpoints.save(int(self.state.step), self.state, self._meta(val_loss))
+        self.checkpoints.save(
+            int(self.state.step),
+            self.state,
+            self._meta(val_loss),
+            block=not self.cfg.training.async_checkpointing,
+        )
 
     def load(self, best: bool = False) -> None:
         self.state, meta = self.checkpoints.restore(self.state, best=best)
@@ -318,6 +323,9 @@ class TrainingPipeline:
                 logger.info("early stopping at epoch %d", self.epoch)
                 break
 
+        # Train returns with every checkpoint durable on disk: callers (eval
+        # scripts, resume) read the checkpoint directory right after.
+        self.checkpoints.wait()
         self._dump_history()
         return self.history
 

@@ -438,6 +438,116 @@ def probe_fused_gn():
                 }), flush=True)
 
 
+def probe_ckpt():
+    """Async-checkpointing overlap on the real chip (training/checkpointing.py).
+
+    Builds the flagship train state (the measured 803 MB full-state tree),
+    then times: (a) a compiled train-step window alone, (b) a blocking save
+    alone, (c) blocking save + window sequentially (the pre-r3 training-loop
+    cost), (d) non-blocking save overlapped with the same window. The win is
+    (c) - (d): device->host + disk time hidden behind training steps.
+
+    Env: SBGM_PROBE_CKPT_BATCH (default 128), SBGM_PROBE_CKPT_ITERS (default
+    400 — ~7-11 s of stepping at measured batch-128 rates, same order as one
+    save), SBGM_PROBE_CKPT_DIR (default a fresh tmpdir).
+    """
+    import shutil
+    import tempfile
+
+    from bench import _compile, _cond, _flagship
+    from sbgm_danra_tpu.config import from_dict
+    from sbgm_danra_tpu.training.checkpointing import CheckpointManager
+    from sbgm_danra_tpu.training.state import create_train_state
+    from sbgm_danra_tpu.training.train_step import make_train_step
+
+    batch = int(os.environ.get("SBGM_PROBE_CKPT_BATCH", "128"))
+    iters = int(os.environ.get("SBGM_PROBE_CKPT_ITERS", "400"))
+    model, sde = _flagship(SIZE)
+    cond = _cond(batch, SIZE)
+    rng = np.random.default_rng(1)
+    full = dict(
+        x=jnp.asarray(rng.normal(size=(batch, SIZE, SIZE, 1)).astype(np.float32)),
+        sdf=jnp.asarray(rng.uniform(size=(batch, SIZE, SIZE, 1)).astype(np.float32)),
+        **cond,
+    )
+    cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
+    state = create_train_state(
+        cfg, model, {k: v for k, v in full.items() if k != "sdf"}, jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, sde)
+
+    def window(state, keys):
+        def body(s, key):
+            s, m = step(s, full, key)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    run = _compile(jax.jit(window, donate_argnums=0).lower(state, keys))
+    state, losses = run(state, keys)
+    jax.block_until_ready(losses)
+
+    state_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(
+            (state.step, state.params, state.batch_stats, state.buffers,
+             state.opt_state, state.ema_params)
+        )
+    )
+    ckpt_dir = os.environ.get("SBGM_PROBE_CKPT_DIR") or tempfile.mkdtemp(prefix="ckpt_probe_")
+
+    def fresh_mngr(tag):
+        d = os.path.join(ckpt_dir, tag)
+        shutil.rmtree(d, ignore_errors=True)
+        return CheckpointManager(d)
+
+    # (a) window alone
+    t0 = time.perf_counter()
+    state, losses = run(state, keys)
+    jax.block_until_ready(losses)
+    t_window = time.perf_counter() - t0
+
+    # (b) blocking save alone
+    mngr = fresh_mngr("block")
+    t0 = time.perf_counter()
+    mngr.save(1, state, {"val_loss": 1.0}, block=True)
+    t_save_block = time.perf_counter() - t0
+    mngr.close()
+
+    # (c) sequential: blocking save then window (pre-r3 loop shape)
+    mngr = fresh_mngr("seq")
+    t0 = time.perf_counter()
+    mngr.save(2, state, {"val_loss": 1.0}, block=True)
+    state, losses = run(state, keys)
+    jax.block_until_ready(losses)
+    t_seq = time.perf_counter() - t0
+    mngr.close()
+
+    # (d) overlapped: non-blocking save racing the same window
+    mngr = fresh_mngr("async")
+    t0 = time.perf_counter()
+    mngr.save(3, state, {"val_loss": 1.0}, block=False)
+    t_async_call = time.perf_counter() - t0
+    state, losses = run(state, keys)
+    jax.block_until_ready(losses)
+    mngr.wait()
+    t_overlap = time.perf_counter() - t0
+    mngr.close()
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "probe": "ckpt", "state_mb": round(state_bytes / 1e6, 1),
+        "batch": batch, "window_steps": iters,
+        "window_s": round(t_window, 2),
+        "save_blocking_s": round(t_save_block, 2),
+        "save_async_call_s": round(t_async_call, 3),
+        "seq_save_plus_window_s": round(t_seq, 2),
+        "overlapped_save_plus_window_s": round(t_overlap, 2),
+        "hidden_s": round(t_seq - t_overlap, 2),
+    }))
+
+
 def probe_loader():
     """End-to-end input-pipeline throughput (VERDICT r2 item 2).
 
@@ -502,4 +612,4 @@ if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
      "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
      "train": probe_train, "dump": probe_dump, "loader": probe_loader,
-     "fused_gn": probe_fused_gn}[sys.argv[1]]()
+     "fused_gn": probe_fused_gn, "ckpt": probe_ckpt}[sys.argv[1]]()

@@ -235,6 +235,63 @@ class TestCheckpointing:
         mngr.close()
 
 
+class TestAsyncCheckpointing:
+    """Non-blocking saves (training/checkpointing.py): the device-side
+    snapshot must make the save immune to the train step's buffer donation,
+    and accessors must serialize behind in-flight saves."""
+
+    def test_survives_donation_of_source_buffers(self, tiny_state, tiny_batch, tmp_path):
+        cfg, model, _ = tiny_state
+        # fresh state: this test DONATES its buffers, and tiny_state is a
+        # module-scoped fixture shared with later tests
+        state = create_train_state(
+            cfg, model, {k: v for k, v in tiny_batch.items() if k != "sdf"},
+            jax.random.PRNGKey(7),
+        )
+        step = jax.jit(make_train_step(model, VESDE()), donate_argnums=0)
+        state, _ = step(state, tiny_batch, jax.random.PRNGKey(0))
+        saved_params = jax.tree.map(np.asarray, state.params)
+        mngr = CheckpointManager(str(tmp_path / "ckpt_async"))
+        mngr.save(int(state.step), state, {"val_loss": 1.0, "epoch": 1}, block=False)
+        # donate the very buffers the save references — the next step
+        # invalidates them exactly as the training loop would
+        state, _ = step(state, tiny_batch, jax.random.PRNGKey(1))
+        mngr.wait()
+
+        fresh = create_train_state(
+            cfg, model, {k: v for k, v in tiny_batch.items() if k != "sdf"},
+            jax.random.PRNGKey(42),
+        )
+        restored, meta = mngr.restore(fresh)
+        assert meta["epoch"] == 1
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(saved_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mngr.close()
+
+    def test_accessors_wait_for_inflight_save(self, tiny_state, tmp_path):
+        _, _, state = tiny_state
+        mngr = CheckpointManager(str(tmp_path / "ckpt_async2"))
+        mngr.save(7, state, {"val_loss": 2.0}, block=False)
+        assert mngr.latest_step() == 7  # implies the save committed
+        mngr.save(8, state, {"val_loss": 1.0}, block=False)
+        assert mngr.best_step() == 8
+        mngr.close()
+
+    def test_worker_failure_surfaces_on_wait(self, tiny_state, tmp_path, monkeypatch):
+        _, _, state = tiny_state
+        mngr = CheckpointManager(str(tmp_path / "ckpt_async3"))
+
+        def boom(step, tree, meta):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(mngr, "_save_tree", boom)
+        mngr.save(1, state, {"val_loss": 1.0}, block=False)
+        with pytest.raises(RuntimeError, match="disk full"):
+            mngr.wait()
+        mngr.wait()  # failure is not re-raised twice; manager stays usable
+        mngr.close()
+
+
 class TestPipeline:
     def test_end_to_end_smoke(self, synth_env):
         cfg = tiny_config(synth_env)
