@@ -255,10 +255,14 @@ class TrainingConfig:
     # early training improves val nearly every epoch.
     checkpoint_min_interval_epochs: int = 1
     # Non-blocking checkpoint saves: snapshot the state on device (one cheap
-    # dispatch) and stream the 803 MB full-state write from a worker thread
-    # while training keeps stepping (training/checkpointing.py). The blocking
-    # alternative stalls the chip 14-33 s per save over the remote tunnel.
-    async_checkpointing: bool = True
+    # dispatch) and stream the full-state write from a worker thread while
+    # training keeps stepping (training/checkpointing.py). Default OFF on
+    # measurement: on a 1-core host with a remote-TPU tunnel the background
+    # D2H contends with step dispatch for the same core/tunnel and the
+    # overlapped total is SLOWER than save-then-step (perf_probe ckpt,
+    # BASELINE r3: hidden_s -13.4 eager / -1.2 scan). Turn on for local-TPU
+    # multi-core hosts, where D2H DMA + disk write overlap compute.
+    async_checkpointing: bool = False
 
 
 @dataclass
