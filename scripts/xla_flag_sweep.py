@@ -48,6 +48,10 @@ VARIANTS = {
     "v32_rwb_off": _with_vmem({"xla_tpu_rwb_fusion": "false"}),
     "v32_dot_dot_off": _with_vmem({"xla_tpu_dot_dot_fusion": "false"}),
     "v32_dot_sr_off": _with_vmem({"xla_tpu_enable_dot_strength_reduction": "false"}),
+    "v32_licm4_ddoff": _with_vmem(
+        {"xla_tpu_licm_size_inflation_ratio": "4.0",
+         "xla_tpu_dot_dot_fusion": "false"}
+    ),
     # --- memory-space-assignment / copy heuristics ---
     "v32_msa_copy08": _with_vmem(
         {"xla_tpu_msa_inefficient_use_to_copy_ratio": "0.8"}
