@@ -287,6 +287,10 @@ class EvaluationConfig:
     fig_name: str = "generated_samples"
     eval_stat_methods: Tuple[str, ...] = ("pixel_stats", "spatial_stats")
     mask_ocean: bool = False
+    # optional ensemble inflation factor applied to repeated-mode members in
+    # normalized space before back-transform (evaluate/calibration.py; fit it
+    # with scripts/flagship_quality_eval.py --calibrate). None = raw members.
+    spread_calibration: Optional[float] = None
 
 
 @dataclass

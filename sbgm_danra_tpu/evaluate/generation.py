@@ -198,6 +198,15 @@ class SampleGenerator:
             mesh=self.mesh,
         )
         generated = np.asarray(members)[..., 0]  # (N, H, W)
+        alpha = self.cfg.evaluation.spread_calibration
+        if alpha is not None:
+            # inflate/deflate members about the ensemble mean in normalized
+            # space (before back-transform) — evaluate/calibration.py
+            from sbgm_danra_tpu.evaluate.calibration import apply_spread_scale
+
+            logger.info("Applying spread calibration alpha=%.4f to %d members",
+                        alpha, n_repeats)
+            generated = apply_spread_scale(generated, alpha)
         rep_batch = {
             k: (np.repeat(v, n_repeats, axis=0) if hasattr(v, "shape") and v.ndim > 0 else v)
             for k, v in batch.items()

@@ -39,6 +39,13 @@ def main():
     p.add_argument("--n_dates", type=int, default=16)
     p.add_argument("--members", type=int, default=32)
     p.add_argument("--skip_pc", action="store_true")
+    p.add_argument("--churn_sweep", action="store_true",
+                   help="EDM s_churn in {0,7,21,28} at w=3 (14 is the default run)")
+    p.add_argument("--nfe_sweep", action="store_true",
+                   help="EDM node count in {18,50,80} at w=3 (35 is the default run)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="fit spread calibration on VALID-split ensembles and "
+                        "report calibrated test metrics (evaluate/calibration.py)")
     p.add_argument("--pc_chunk_dates", type=int, default=2,
                    help="dates per PC-1000 dispatch (RPC-timeout guard)")
     p.add_argument("--out", default=None)
@@ -70,37 +77,46 @@ def main():
     score_fn = pipeline.score_fn(use_ema=cfg.training.load_ema)
     sde = pipeline.sde
 
-    # ---- deterministic test conditions -------------------------------------
-    ds = make_dataset(load_cfg, "test")
-    n_dates = min(args.n_dates, len(ds))
-    samples = [
-        ds.__getitem__(i, rng=np.random.default_rng((1234, i))) for i in range(n_dates)
-    ]
+    # ---- deterministic conditions (fixed crop per date) ---------------------
     from sbgm_danra_tpu.data.loader import collate
 
-    batch = extract_batch(collate(samples), cfg.highres.variable)
-    truth = np.asarray(batch["x"])[..., 0]  # [N, H, W] normalized space
-    h, w = truth.shape[1:]
     k = args.members
 
     def tile_members(arr):
         # [N, ...] -> [N*K, ...] (member-major per date: date i occupies i*K:(i+1)*K)
         return np.repeat(np.asarray(arr), k, axis=0)
 
-    cond = {
-        key: jnp.asarray(tile_members(batch[key]))
-        for key in ("y", "cond_img", "lsm_cond", "topo_cond")
-        if key in batch
-    }
+    def build_conditions(split, n, seed_base):
+        ds = make_dataset(load_cfg, split)
+        n = min(n, len(ds))
+        samples = [
+            ds.__getitem__(i, rng=np.random.default_rng((seed_base, i)))
+            for i in range(n)
+        ]
+        batch = extract_batch(collate(samples), cfg.highres.variable)
+        truth = np.asarray(batch["x"])[..., 0]  # [N, H, W] normalized space
+        conds = {
+            key: jnp.asarray(tile_members(batch[key]))
+            for key in ("y", "cond_img", "lsm_cond", "topo_cond")
+            if key in batch
+        }
+        return conds, truth
+
+    cond, truth_test = build_conditions("test", args.n_dates, 1234)
+    n_dates = truth_test.shape[0]
+    h, w = truth_test.shape[1:]
     total = n_dates * k
     shape = (total, h, w, 1)
     g = cfg.classifier_free_guidance
 
-    def run_sampler(name, num_steps, guidance, s_churn=0.0, seed=0, chunk_dates=None):
+    def run_sampler(name, num_steps, guidance, s_churn=0.0, seed=0,
+                    chunk_dates=None, cond_set=None):
         """chunk_dates: dates per device dispatch. Long single dispatches
         (PC-1000 at 512 members is ~5 min of device time) trip the remote
         platform's RPC timeout; chunking keeps each dispatch well under it at
         identical total compute."""
+        conds = cond if cond_set is None else cond_set
+        nd = next(iter(conds.values())).shape[0] // k
         sampler = get_sampler(name)
         scfg = SamplerConfig(
             num_steps=num_steps,
@@ -111,12 +127,12 @@ def main():
             edm_rho=cfg.sampler.edm_rho,
             s_churn=s_churn,
         )
-        nd_chunk = chunk_dates or n_dates
+        nd_chunk = chunk_dates or nd
         cshape = (nd_chunk * k, h, w, 1)
         fn = jax.jit(lambda key, c: sampler(score_fn, key, cshape, sde, scfg, cond=c))
 
         def cond_slice(d0, d1):
-            return {key: v[d0 * k : d1 * k] for key, v in cond.items()}
+            return {key: v[d0 * k : d1 * k] for key, v in conds.items()}
 
         t0 = time.time()
         lowered = fn.lower(jax.random.PRNGKey(seed), cond_slice(0, nd_chunk))
@@ -124,7 +140,7 @@ def main():
         t_compile = time.time() - t0
         t0 = time.time()
         outs = []
-        for d0 in range(0, n_dates, nd_chunk):
+        for d0 in range(0, nd, nd_chunk):
             key = jax.random.fold_in(jax.random.PRNGKey(seed), d0)
             outs.append(
                 np.asarray(
@@ -132,11 +148,13 @@ def main():
                 )
             )
         t_run = time.time() - t0
-        members = np.concatenate(outs)[..., 0].reshape(n_dates, k, h, w)
+        members = np.concatenate(outs)[..., 0].reshape(nd, k, h, w)
         return members, t_compile, t_run
 
-    def metrics(members):
+    def metrics(members, vs_truth=None):
         """members [N, K, H, W] vs truth [N, H, W]; normalized + physical."""
+        truth = truth_test if vs_truth is None else vs_truth
+        n_dates = truth.shape[0]
         out = {}
         for space, mem, tru in (
             ("normalized", members, truth),
@@ -213,6 +231,66 @@ def main():
         checkpoint_results()
         print(key, "crps:", results[key]["normalized"]["crps"])
 
+    if args.churn_sweep:
+        # calibration lever: stochastic churn re-injects noise along the EDM
+        # trajectory (exact-score study: repairs init-coverage gaps). Measures
+        # whether it also tightens a LEARNED score's spread/skill.
+        for sc in (0.0, 7.0, 21.0, 28.0):
+            m_, tc, tr = run_sampler(
+                "edm_sampler", cfg.sampler.n_timesteps, g.guidance_scale, sc, seed=2
+            )
+            key = f"edm_w3_churn{int(sc)}"
+            results[key] = metrics(m_)
+            results[key]["run_s"] = round(tr, 3)
+            checkpoint_results()
+            print(key, "crps:", results[key]["normalized"]["crps"],
+                  "spread/skill:", results[key]["normalized"]["spread_skill"])
+
+    if args.nfe_sweep:
+        # quality-vs-NFE curve with the learned score (exact-score study
+        # pinned 18-50 nodes at parity; verify that survives learning).
+        for n in (18, 50, 80):
+            m_, tc, tr = run_sampler(
+                "edm_sampler", n, g.guidance_scale, cfg.sampler.s_churn, seed=3
+            )
+            key = f"edm{n}_w3"
+            results[key] = metrics(m_)
+            results[key]["run_s"] = round(tr, 3)
+            checkpoint_results()
+            print(key, "crps:", results[key]["normalized"]["crps"])
+
+    if args.calibrate:
+        # fit ensemble inflation on VALID-split ensembles (same sampler/seed
+        # protocol, disjoint dates), apply to the test EDM w=3 members —
+        # out-of-sample calibrated quality (evaluate/calibration.py).
+        from sbgm_danra_tpu.evaluate.calibration import (
+            apply_spread_scale,
+            fit_spread_scale,
+        )
+
+        vcond, truth_val = build_conditions("valid", args.n_dates, 5678)
+        vm, tc, tr = run_sampler(
+            "edm_sampler", cfg.sampler.n_timesteps, g.guidance_scale,
+            cfg.sampler.s_churn, seed=4, cond_set=vcond,
+        )
+        alphas = {
+            rule: fit_spread_scale(vm, truth_val, rule=rule)
+            for rule in ("crps", "spread_skill")
+        }
+        results["calibration"] = {
+            "fit_split": "valid", "fit_dates": int(truth_val.shape[0]),
+            "val_run_s": round(tr, 3),
+            **{f"alpha_{k_}": round(v, 4) for k_, v in alphas.items()},
+        }
+        for rule, alpha in alphas.items():
+            key = f"edm_w3_cal_{rule}"
+            results[key] = metrics(apply_spread_scale(edm, alpha))
+            results[key]["alpha"] = round(alpha, 4)
+            checkpoint_results()
+            nrm = results[key]["normalized"]
+            print(key, f"alpha={alpha:.3f}", "crps:", nrm["crps"],
+                  "spread/skill:", nrm["spread_skill"])
+
     if not args.skip_pc:
         pc, tc, tr = run_sampler(
             "pc_sampler", 1000, g.guidance_scale, chunk_dates=args.pc_chunk_dates
@@ -227,7 +305,13 @@ def main():
 
     # markdown fragment for BASELINE.md
     rows = []
-    for name in ("pc1000_w3", "edm_w3", "edm_w0", "edm_w7"):
+    base_rows = ("pc1000_w3", "edm_w3", "edm_w0", "edm_w7")
+    sweep_rows = sorted(
+        n for n in results
+        if isinstance(results.get(n), dict) and "normalized" in results[n]
+        and n not in base_rows
+    )
+    for name in (*base_rows, *sweep_rows):
         r = results.get(name)
         if not r:
             continue

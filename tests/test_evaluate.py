@@ -394,3 +394,154 @@ class TestReferenceFigureParity:
         for name in ("pixel_hist_repeated.png", "rmse_mae_hist_repeated.png"):
             f = os.path.join(ev.fig_path, name)
             assert os.path.exists(f) and os.path.getsize(f) > 0
+
+
+class TestSpreadCalibration:
+    """Ensemble inflation/deflation (evaluate/calibration.py) — beyond-reference
+    post-processing for the measured overdispersion (BASELINE learned-model
+    tables)."""
+
+    def _overdispersed(self, factor=3.0, n=24, k=20, hw=12, seed=0):
+        rng = np.random.default_rng(seed)
+        truth_mean = rng.normal(size=(n, hw, hw))
+        truth = truth_mean + rng.normal(size=(n, hw, hw))
+        members = truth_mean[:, None] + factor * rng.normal(size=(n, k, hw, hw))
+        return members, truth
+
+    def test_closed_form_recovers_inflation(self):
+        from sbgm_danra_tpu.evaluate.calibration import (
+            ensemble_spread_skill,
+            apply_spread_scale,
+            spread_scale_closed_form,
+        )
+
+        members, truth = self._overdispersed(factor=3.0)
+        alpha = spread_scale_closed_form(members, truth)
+        assert 0.25 < alpha < 0.45  # true deflation ~1/3
+        spread, rmse = ensemble_spread_skill(
+            apply_spread_scale(members, alpha), truth
+        )
+        assert abs(spread * np.sqrt(21 / 20) / rmse - 1.0) < 0.05
+
+    def test_crps_fit_improves_crps(self):
+        from sbgm_danra_tpu.evaluate.calibration import (
+            apply_spread_scale,
+            fit_spread_scale,
+        )
+        from sbgm_danra_tpu.evaluate.crps import crps_ensemble
+
+        members, truth = self._overdispersed(factor=3.0, seed=1)
+        fit_m, fit_t = members[:12], truth[:12]       # "validation"
+        hold_m, hold_t = members[12:], truth[12:]     # "test"
+        alpha = fit_spread_scale(fit_m, fit_t, rule="crps")
+        assert alpha < 0.6
+
+        def mean_crps(m, t):
+            return float(
+                np.mean([crps_ensemble(m[i], t[i]).mean() for i in range(len(t))])
+            )
+
+        raw = mean_crps(hold_m, hold_t)
+        cal = mean_crps(apply_spread_scale(hold_m, alpha), hold_t)
+        # theory: Gaussian CRPS at 3x overdispersion is ~1.27x the calibrated
+        # optimum, so expect a >=15% out-of-sample gain
+        assert cal < raw * 0.85
+
+    def test_underdispersed_inflates(self):
+        from sbgm_danra_tpu.evaluate.calibration import fit_spread_scale
+
+        members, truth = self._overdispersed(factor=0.3, seed=2)
+        alpha = fit_spread_scale(members, truth, rule="spread_skill")
+        assert alpha > 1.5
+
+    def test_single_ensemble_layout(self):
+        from sbgm_danra_tpu.evaluate.calibration import (
+            apply_spread_scale,
+            fit_spread_scale,
+        )
+
+        rng = np.random.default_rng(3)
+        truth = rng.normal(size=(16, 16))
+        members = 2.0 * rng.normal(size=(40, 16, 16))
+        alpha = fit_spread_scale(members, truth, rule="spread_skill")
+        cal = apply_spread_scale(members, alpha)
+        assert cal.shape == members.shape
+        np.testing.assert_allclose(cal.mean(axis=0), members.mean(axis=0), atol=1e-9)
+
+    def test_calibration_preserves_mean_and_rejects_bad_rule(self):
+        from sbgm_danra_tpu.evaluate.calibration import (
+            apply_spread_scale,
+            fit_spread_scale,
+        )
+
+        members, truth = self._overdispersed(n=4, k=8, seed=4)
+        cal = apply_spread_scale(members, 0.5)
+        np.testing.assert_allclose(cal.mean(axis=1), members.mean(axis=1), atol=1e-9)
+        with pytest.raises(ValueError):
+            fit_spread_scale(members, truth, rule="nope")
+
+
+class TestRepeatedModeCalibrationKnob:
+    """evaluation.spread_calibration deflates repeated-mode members in
+    normalized space before back-transform (generation.py generate_repeated)."""
+
+    def _generator(self, tmp_path, alpha):
+        import jax.numpy as jnp
+
+        from sbgm_danra_tpu.config import from_dict
+        from sbgm_danra_tpu.evaluate.generation import SampleGenerator
+
+        root = str(tmp_path)
+        cfg = from_dict(
+            {
+                "experiment": {"name": "calib", "config_name": "calib"},
+                "paths": {
+                    "data_dir": root, "checkpoint_dir": root,
+                    "sample_dir": os.path.join(root, "samples"),
+                    "path_save": os.path.join(root, "samples"),
+                    "lsm_path": os.path.join(root, "lsm.npz"),
+                    "topo_path": os.path.join(root, "topo.npz"),
+                    "stats_load_dir": os.path.join(root, "stats"),
+                },
+                "highres": {
+                    "model": "DANRA", "variable": "temp", "data_size": [16, 16],
+                    "scaling_method": "zscore", "full_domain_dims": [16, 16],
+                    "cutout_domains": None, "buffer_frac": 0.0,
+                },
+                "lowres": {
+                    "model": "ERA5", "condition_variables": [],
+                    "scaling_methods": [], "full_domain_dims": [16, 16],
+                },
+                "sampler": {"sampler_type": "em_sampler", "n_timesteps": 4},
+                "classifier_free_guidance": {"enabled": False},
+                "evaluation": {
+                    "n_steps": 4, "seed": 0, "n_repeats": 6,
+                    "spread_calibration": alpha,
+                },
+            }
+        )
+        batch = {"temp_hr": np.zeros((1, 16, 16, 1), np.float32)}
+
+        def score_fn(x, t, **kw):
+            return jnp.zeros_like(x)
+
+        return SampleGenerator(cfg, score_fn, [batch])
+
+    def test_alpha_zero_collapses_members(self, tmp_path):
+        gen_raw = self._generator(tmp_path / "raw", None).generate_repeated()
+        assert gen_raw.shape[0] == 6
+        assert gen_raw.std(axis=0).max() > 0.1  # noise-driven member spread
+
+        gen_cal = self._generator(tmp_path / "cal", 0.0).generate_repeated()
+        # alpha=0 deflates every member onto the ensemble mean
+        np.testing.assert_allclose(gen_cal.std(axis=0), 0.0, atol=1e-4)
+
+    def test_alpha_halves_spread(self, tmp_path):
+        g1 = self._generator(tmp_path / "a", None)
+        g2 = self._generator(tmp_path / "b", 0.5)
+        m1 = g1.generate_repeated()
+        m2 = g2.generate_repeated()
+        # same seed/protocol: calibrated members are exactly the deflation
+        np.testing.assert_allclose(
+            m2, m1.mean(axis=0) + 0.5 * (m1 - m1.mean(axis=0)), atol=1e-5
+        )
