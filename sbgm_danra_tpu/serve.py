@@ -9,8 +9,12 @@ deployment needs one. This module provides:
 - a stdlib ``http.server`` JSON API (zero new dependencies):
     GET  /healthz            -> {"status": "ok", "model": ..., "platform": ...}
     POST /generate           -> body {"conditions": {...}, "n_members": N,
-                                      "seed": S}; returns generated fields
-                                (back-transformed) as nested lists.
+                                      "seed": S, "spread_calibration": A};
+                                returns generated fields (back-transformed)
+                                as nested lists. spread_calibration (optional)
+                                rescales members about the ensemble mean in
+                                normalized space (evaluate/calibration.py);
+                                omitted -> cfg.evaluation.spread_calibration.
 
 Conditions use the model contract: cond_img [H, W, C_lr], lsm/topo [H, W, 2]
 value||mask, y class index. Requests are queued and served sequentially — the
@@ -21,6 +25,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -106,7 +111,11 @@ class InferenceEngine:
         return time.time() - t0
 
     def generate(
-        self, conditions: Dict[str, np.ndarray], n_members: int = 1, seed: int = 0
+        self,
+        conditions: Dict[str, np.ndarray],
+        n_members: int = 1,
+        seed: int = 0,
+        spread_calibration: Optional[float] = None,
     ) -> np.ndarray:
         """Generate n_members fields for ONE condition dict; back-transformed."""
         if n_members > self.max_members:
@@ -135,6 +144,16 @@ class InferenceEngine:
         with self._lock:  # one device, one program at a time
             out = np.asarray(self._run(jax.random.PRNGKey(seed), cond))[..., 0]
         out = out[:n_members]
+        alpha = (
+            self.cfg.evaluation.spread_calibration
+            if spread_calibration is None
+            else float(spread_calibration)
+        )
+        if alpha is not None and n_members > 1:
+            # normalized-space ensemble inflation, before back-transform
+            from sbgm_danra_tpu.evaluate.calibration import apply_spread_scale
+
+            out = apply_spread_scale(out, alpha)
         bt = self.back_transforms.get("generated")
         return np.asarray(bt(out)) if bt is not None else out
 
@@ -179,10 +198,12 @@ def make_handler(engine: InferenceEngine):
                 if "y" in (req.get("conditions") or {}):
                     conditions["y"] = np.asarray(req["conditions"]["y"], np.int32)
                 t0 = time.time()
+                sc = req.get("spread_calibration")
                 out = engine.generate(
                     conditions,
                     n_members=int(req.get("n_members", 1)),
                     seed=int(req.get("seed", 0)),
+                    spread_calibration=None if sc is None else float(sc),
                 )
                 self._reply(
                     200,
@@ -225,6 +246,12 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if os.environ.get("SBGM_FORCE_CPU") == "1":
+        # same escape hatch as cli/main_app.py: the session pins the TPU
+        # platform before env vars can act; in-process update is the only
+        # reliable CPU switch (and a CPU smoke of the server must not claim
+        # the single-tenant TPU out from under a training run).
+        jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.config_path, dict(parse_override(s) for s in args.overrides))
     serve(cfg, args.host, args.port, args.max_members)
 

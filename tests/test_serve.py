@@ -130,3 +130,47 @@ class TestHTTPAPI:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(f"{server}/nope")
         assert e.value.code == 404
+
+
+class TestServeSpreadCalibration:
+    """Per-request ensemble inflation (evaluate/calibration.py) through the
+    engine and the HTTP API. tiny_config's HR variable is zscore-normalized,
+    so the affine back-transform commutes with the member rescale and the
+    physical-space outputs can be compared exactly."""
+
+    def test_engine_applies_alpha(self, engine):
+        from sbgm_danra_tpu.evaluate.calibration import apply_spread_scale
+
+        raw = engine.generate(_conditions(), n_members=3, seed=11)
+        cal = engine.generate(
+            _conditions(), n_members=3, seed=11, spread_calibration=0.5
+        )
+        np.testing.assert_allclose(cal, apply_spread_scale(raw, 0.5), rtol=1e-5, atol=1e-5)
+        # alpha is a no-op for single members (mean == member)
+        one = engine.generate(_conditions(), n_members=1, seed=11,
+                              spread_calibration=0.5)
+        np.testing.assert_allclose(one, raw[:1], rtol=1e-5, atol=1e-5)
+
+    def test_http_request_knob(self, engine):
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from sbgm_danra_tpu.serve import make_handler
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            payload = {"n_members": 2, "seed": 4, "spread_calibration": 0.0}
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            arr = np.asarray(body["generated"])
+            # alpha=0 collapses both members onto the ensemble mean
+            np.testing.assert_allclose(arr[0], arr[1], rtol=1e-4, atol=1e-4)
+        finally:
+            srv.shutdown()
