@@ -121,21 +121,9 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
-    import jax
+    from sbgm_danra_tpu.utils.jax_env import setup_jax_env
 
-    if os.environ.get("SBGM_FORCE_CPU") == "1":
-        # The environment pins the TPU platform before any env var can take
-        # effect (jax is imported at interpreter startup); in-process config
-        # update is the only reliable CPU switch, and host-only modes must not
-        # claim the (single-tenant) TPU.
-        jax.config.update("jax_platforms", "cpu")
-
-    # Persistent compile cache: remote (tunnel) compiles of the flagship
-    # train/sampler programs run minutes-to-tens-of-minutes; cache them like
-    # bench.py and the probe scripts do so reruns are seconds.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_jax_env()
 
     # kill -USR1 <pid> dumps every thread's Python stack to stderr — the only
     # way to see where a long remote compile / stalled run is without a

@@ -248,11 +248,14 @@ class TrainingConfig:
     remat: bool = False
     # In-graph elastic recovery: skip optimizer updates with non-finite grads.
     skip_nonfinite_updates: bool = False
-    # Best-val checkpoints fire at most every N epochs (final epoch always
-    # eligible). 1 = save on every improvement (reference training.py:477-482
-    # parity). Raise it when the device is remote: a full-state save pulls the
-    # entire state over the tunnel (~15-30 s for the 803 MB flagship), and
-    # early training improves val nearly every epoch.
+    # Best-val checkpoint WRITES fire at most every N epochs; a rate-limited
+    # improvement is never lost — its weights are held as a device-side
+    # snapshot and flushed at the next eligible epoch or at loop exit
+    # (incl. early stopping). 1 = write on every improvement (reference
+    # training.py:477-482 parity). Raise it when the device is remote: a
+    # full-state save pulls the entire state over the tunnel (~15-30 s for
+    # the 803 MB flagship), and early training improves val nearly every
+    # epoch. Costs one extra state copy of HBM while a snapshot is held.
     checkpoint_min_interval_epochs: int = 1
     # Non-blocking checkpoint saves: snapshot the state on device (one cheap
     # dispatch) and stream the full-state write from a worker thread while

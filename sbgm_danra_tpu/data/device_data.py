@@ -86,6 +86,16 @@ def build_device_stacks(
         raise ValueError("device dataset requires lsm+topo geography")
 
     full_hw = tuple(dataset.lsm_full_domain.shape)
+    if not dataset.cutouts and tuple(dataset.hr_data_size) != full_hw:
+        # host semantics for cutouts=False are whole-domain RESIZED to
+        # data_size (dataset.py __getitem__); the device sampler only crops —
+        # silently substituting a random sub-window would train on different
+        # data than the host path under the same config.
+        raise ValueError(
+            "device dataset requires sample_w_cutouts=true unless data_size "
+            f"equals the full domain {full_hw}; use the host loader for "
+            "whole-domain-resize sampling"
+        )
     dates = tuple(dataset.common_dates)
     d = len(dates)
 
@@ -255,12 +265,18 @@ class DeviceDataLoader:
         steps_per_epoch: Optional[int] = None,
         seed: int = 0,
         cfg_dropout_prob: float = 0.0,
-        with_sdf: bool = True,
+        with_sdf: Optional[bool] = None,
         dtype: jnp.dtype = jnp.float32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.stacks = build_device_stacks(dataset, dtype)
+        if with_sdf is None:
+            # same gate as the host __getitem__ (dataset.sdf_weighted_loss,
+            # itself cfg.training.sdf_weighted_loss AND geo.sample_w_sdf):
+            # otherwise device batches would pay a per-step jump-flood for an
+            # unused output — or worse, weight a loss the host path doesn't.
+            with_sdf = dataset.sdf_weighted_loss
         self._sample = make_batch_sampler(
             self.stacks,
             tuple(dataset.hr_data_size),

@@ -34,17 +34,26 @@ _GOLDEN = (np.sqrt(5.0) - 1.0) / 2.0
 
 
 def _as_batched(members: np.ndarray, truth: np.ndarray):
-    """Accept (K, ...) vs (...) or (N, K, ...) vs (N, ...); return batched."""
+    """Accept (K, H, W) vs (H, W) or (N, K, H, W) vs (N, H, W); return batched.
+
+    Disambiguated on ndim (fields are always 2-D), NOT by shape matching —
+    a shape test is ambiguous whenever the ensemble size K equals the case
+    count N and would silently average over the wrong axis.
+    """
     members = np.asarray(members, dtype=np.float64)
     truth = np.asarray(truth, dtype=np.float64)
-    if members.ndim == truth.ndim + 1 and members.shape[1:] == truth.shape:
-        # single ensemble (K, ...) -> (1, K, ...)
-        return members[None], truth[None]
-    if members.ndim == truth.ndim + 1 and members.shape[0] == truth.shape[0]:
-        return members, truth
-    raise ValueError(
-        f"members {members.shape} incompatible with truth {truth.shape}"
-    )
+    if members.ndim == 3 and truth.ndim == 2:
+        members, truth = members[None], truth[None]  # (1, K, H, W), (1, H, W)
+    elif not (members.ndim == 4 and truth.ndim == 3):
+        raise ValueError(
+            f"members {members.shape} incompatible with truth {truth.shape}; "
+            "expected (K, H, W) vs (H, W) or (N, K, H, W) vs (N, H, W)"
+        )
+    if members.shape[0] != truth.shape[0] or members.shape[2:] != truth.shape[1:]:
+        raise ValueError(
+            f"members {members.shape} incompatible with truth {truth.shape}"
+        )
+    return members, truth
 
 
 def apply_spread_scale(members: np.ndarray, alpha: float) -> np.ndarray:

@@ -38,7 +38,15 @@ _RING_CONTEXT: List[Tuple[Mesh, str]] = []
 @contextlib.contextmanager
 def ring_context(mesh: Mesh, axis_name: str = "data"):
     """Token-shard ring attention over ``mesh[axis_name]`` for model calls
-    traced inside this context (SURVEY.md section 2.9 SP row)."""
+    traced inside this context (SURVEY.md section 2.9 SP row).
+
+    TRACE-time, not call-time: the context is consulted when the model
+    function is traced, and it is NOT part of jit's cache key. A jitted
+    function warmed up OUTSIDE the context keeps its cached dense executable
+    when later called inside it (and vice versa) — jit/lower/warm up INSIDE
+    the context, as the full-domain path and the driver dryrun do. The dense
+    trace logs at trace time (ring_attention_inline) so a miswired program is
+    visible in the logs rather than silently unsharded."""
     _RING_CONTEXT.append((mesh, axis_name))
     try:
         yield
@@ -100,6 +108,12 @@ def ring_attention_inline(q: Array, k: Array, v: Array, axis_name: str = "data")
     """
     ctx = current_ring_context()
     if ctx is None:
+        # trace-time decision (see ring_context docstring): say so, or a
+        # program traced outside the context runs unsharded with no signal
+        logger.info(
+            "ring attention: no ring_context at trace time (tokens=%d); "
+            "this layer traces DENSE", q.shape[1],
+        )
         return jax.nn.dot_product_attention(q, k, v)
     mesh, axis = ctx
     axis = axis or axis_name

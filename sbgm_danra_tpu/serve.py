@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -246,12 +245,9 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    if os.environ.get("SBGM_FORCE_CPU") == "1":
-        # same escape hatch as cli/main_app.py: the session pins the TPU
-        # platform before env vars can act; in-process update is the only
-        # reliable CPU switch (and a CPU smoke of the server must not claim
-        # the single-tenant TPU out from under a training run).
-        jax.config.update("jax_platforms", "cpu")
+    from sbgm_danra_tpu.utils.jax_env import setup_jax_env
+
+    setup_jax_env()
     cfg = load_config(args.config_path, dict(parse_override(s) for s in args.overrides))
     serve(cfg, args.host, args.port, args.max_members)
 

@@ -167,15 +167,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     # persistent compile cache: re-visited architectures (GP exploitation
-    # phase, resumed studies) skip the slow first compile (cli/main_app.py
-    # does the same for the training entries)
-    import jax
+    # phase, resumed studies) skip the slow first compile
+    from sbgm_danra_tpu.utils.jax_env import setup_jax_env
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_jax_env()
     study = run_sweep(
         args.config_path, args.storage, args.n_trials, args.epochs,
         args.steps_per_epoch, args.medium,

@@ -42,6 +42,16 @@ def _state_tree(state: TrainState) -> Dict[str, Any]:
 _snapshot = jax.jit(lambda tree: jax.tree.map(jnp.copy, tree))
 
 
+def snapshot_state(state):
+    """Device-side copy of a state pytree into fresh (never-donated) buffers.
+
+    Use to hold weights past future train steps (which donate and invalidate
+    the live buffers) — e.g. a rate-limited best-val improvement that will be
+    written to disk later. One compiled dispatch; costs one extra state copy
+    of HBM until released."""
+    return _snapshot(state)
+
+
 class CheckpointManager:
     """Keeps the latest checkpoints and tracks the best validation loss.
 

@@ -33,7 +33,7 @@ from sbgm_danra_tpu.config import Config
 from sbgm_danra_tpu.data.loader import DataLoader, device_prefetch, extract_batch
 from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
 from sbgm_danra_tpu.sde import VESDE
-from sbgm_danra_tpu.training.checkpointing import CheckpointManager
+from sbgm_danra_tpu.training.checkpointing import CheckpointManager, snapshot_state
 from sbgm_danra_tpu.training.schedulers import EarlyStopping, make_scheduler
 from sbgm_danra_tpu.training.state import TrainState, create_train_state
 from sbgm_danra_tpu.training.train_step import make_eval_step, make_score_fn, make_train_step
@@ -260,6 +260,23 @@ class TrainingPipeline:
             block=not self.cfg.training.async_checkpointing,
         )
 
+    def _frozen_meta(self, val_loss: float) -> Dict:
+        """Meta captured NOW (deep-copied history): a deferred save must
+        record the improvement's epoch, not the flush-time state."""
+        meta = self._meta(val_loss)
+        meta["history"] = {k: list(v) for k, v in self.history.items()}
+        return meta
+
+    def _flush_pending(self, pending: tuple) -> None:
+        step, state, meta = pending
+        logger.info(
+            "flushing rate-limited best checkpoint (epoch %d, val %.4f)",
+            meta["epoch"], meta["val_loss"],
+        )
+        self.checkpoints.save(
+            step, state, meta, block=not self.cfg.training.async_checkpointing
+        )
+
     def load(self, best: bool = False) -> None:
         self.state, meta = self.checkpoints.restore(self.state, best=best)
         self.epoch = meta.get("epoch", 0)
@@ -284,6 +301,7 @@ class TrainingPipeline:
         best_val = min(self.history["val_loss"], default=float("inf"))
         save_interval = max(1, cfg.training.checkpoint_min_interval_epochs)
         last_save_epoch = -save_interval  # first improvement always saves
+        pending = None  # rate-limited best: (step, state snapshot, meta)
         for ep_i in range(epochs):
             t0 = time.time()
             self.train_loader.set_epoch(self.epoch)
@@ -301,16 +319,28 @@ class TrainingPipeline:
             monitored = val_loss if np.isfinite(val_loss) else train_loss
             self.epoch += 1  # epochs completed; recorded in checkpoint meta
             # best-val checkpointing (reference training.py:477-482), rate-
-            # limited by checkpoint_min_interval_epochs; best_val only moves
-            # when a save actually happens, so the saved best is the best of
-            # all save-eligible epochs, never silently stale.
-            if monitored < best_val and (
-                self.epoch - last_save_epoch >= save_interval
-                or ep_i == epochs - 1
-            ):
+            # limited by checkpoint_min_interval_epochs. A rate-limited
+            # improvement is DEFERRED, never lost: its weights are held as a
+            # device-side snapshot (fresh buffers, immune to the train step's
+            # donation) and flushed at the next eligible epoch or at loop
+            # exit — including an early-stopping break.
+            eligible = self.epoch - last_save_epoch >= save_interval
+            if monitored < best_val:
                 best_val = monitored
-                self.save(monitored)
+                if eligible:
+                    self.save(monitored)
+                    last_save_epoch = self.epoch
+                    pending = None
+                else:
+                    pending = (
+                        int(self.state.step),
+                        snapshot_state(self.state),
+                        self._frozen_meta(monitored),
+                    )
+            elif pending is not None and eligible:
+                self._flush_pending(pending)
                 last_save_epoch = self.epoch
+                pending = None
 
             new_lr = self.scheduler.step(monitored)
             self.state = self.state.with_learning_rate(new_lr)
@@ -323,6 +353,10 @@ class TrainingPipeline:
                 logger.info("early stopping at epoch %d", self.epoch)
                 break
 
+        if pending is not None:
+            # improvements still held past the last eligible epoch (tail
+            # window or early-stopping break) are written now
+            self._flush_pending(pending)
         # Train returns with every checkpoint durable on disk: callers (eval
         # scripts, resume) read the checkpoint directory right after.
         self.checkpoints.wait()

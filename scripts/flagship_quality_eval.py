@@ -132,7 +132,19 @@ def main():
         fn = jax.jit(lambda key, c: sampler(score_fn, key, cshape, sde, scfg, cond=c))
 
         def cond_slice(d0, d1):
-            return {key: v[d0 * k : d1 * k] for key, v in conds.items()}
+            sl = {key: v[d0 * k : d1 * k] for key, v in conds.items()}
+            # a short tail chunk (nd not divisible by chunk_dates) is padded
+            # by repeating the last date so every dispatch matches the AOT
+            # executable's fixed shape; padded rows are trimmed after the loop
+            short = nd_chunk * k - next(iter(sl.values())).shape[0]
+            if short > 0:
+                sl = {
+                    key: np.concatenate(
+                        [np.asarray(v), np.repeat(np.asarray(v[-1:]), short, axis=0)]
+                    )
+                    for key, v in sl.items()
+                }
+            return sl
 
         t0 = time.time()
         lowered = fn.lower(jax.random.PRNGKey(seed), cond_slice(0, nd_chunk))
@@ -148,7 +160,7 @@ def main():
                 )
             )
         t_run = time.time() - t0
-        members = np.concatenate(outs)[..., 0].reshape(nd, k, h, w)
+        members = np.concatenate(outs)[..., 0][: nd * k].reshape(nd, k, h, w)
         return members, t_compile, t_run
 
     def metrics(members, vs_truth=None):

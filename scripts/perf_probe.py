@@ -16,20 +16,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-if os.environ.get("SBGM_FORCE_CPU") == "1":
-    # host-only probes (loader) must not claim the single-tenant TPU
-    jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sbgm_danra_tpu.utils.jax_env import setup_jax_env
+
+setup_jax_env()
 
 MEMBERS = int(os.environ.get("SBGM_PROBE_MEMBERS", "13"))
 BATCH = 2 * MEMBERS  # CFG-doubled member batch

@@ -189,12 +189,14 @@ class TestShippedConfigs:
             monkeypatch.setenv(var, str(tmp_path))
         cfg = load_config("configs/full_run.yaml")
         # Deliberate divergence from the reference's pc_sampler-1500: EDM-35
-        # +churn graduated to production default on the learned-model study
+        # graduated to production default on the learned-model study
         # (BASELINE.md r3 — CRPS -36% vs PC-1000 at 13x less wall; commit
-        # 061724a). The rest stays reference-parity.
+        # 061724a), and the capstone churn sweep set s_churn to 0 for learned
+        # scores (churn hurts monotonically; BASELINE capstone table). The
+        # rest stays reference-parity.
         assert cfg.sampler.sampler_type == "edm_sampler"
         assert cfg.sampler.n_timesteps == 35
-        assert cfg.sampler.s_churn == 14.0
+        assert cfg.sampler.s_churn == 0.0
         assert cfg.classifier_free_guidance.guidance_scale == 7.0
         assert list(cfg.evaluation.gen_type) == ["multiple", "repeated"]
         assert cfg.splits.method == "Time"

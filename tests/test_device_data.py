@@ -76,6 +76,32 @@ class TestStacks:
         with pytest.raises(ValueError):
             build_device_stacks(ds)
 
+    def test_rejects_whole_domain_resize_semantics(self, env):
+        """cutouts=False means whole-domain-RESIZE on the host path; the
+        device sampler only crops, so it must refuse rather than silently
+        train on random sub-windows."""
+        _, cfg = env
+        ds = make_dataset(cfg, "train")
+        ds.cutouts = False  # hr_data_size != full domain
+        with pytest.raises(ValueError, match="cutouts"):
+            build_device_stacks(ds)
+
+    def test_sdf_gate_follows_dataset_flag(self, env):
+        """DeviceDataLoader defaults with_sdf to dataset.sdf_weighted_loss —
+        the same gate as the host __getitem__ — so the two paths always
+        train the same objective (and no jump-flood runs for an unused
+        output)."""
+        _, cfg = env
+        ds = make_dataset(cfg, "train")
+        ds.sdf_weighted_loss = False
+        loader = DeviceDataLoader(ds, batch_size=2)
+        batch = loader.sample(jax.random.PRNGKey(0))
+        assert "sdf" not in batch
+        ds2 = make_dataset(cfg, "train")
+        ds2.sdf_weighted_loss = True
+        loader2 = DeviceDataLoader(ds2, batch_size=2)
+        assert "sdf" in loader2.sample(jax.random.PRNGKey(0))
+
 
 class TestSampler:
     def test_crops_are_exact_slices(self, stacks_and_dataset):

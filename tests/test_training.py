@@ -322,17 +322,22 @@ class TestPipeline:
         assert pipe2.epoch >= 1
 
     def test_checkpoint_interval_gates_saves(self, synth_env, tmp_path, monkeypatch):
-        """checkpoint_min_interval_epochs rate-limits best-val saves; the
-        final epoch is always eligible (remote-device tunnels pay ~15-30 s of
-        full-state transfer per save)."""
+        """checkpoint_min_interval_epochs rate-limits best-val WRITES;
+        rate-limited improvements are held as device snapshots and flushed at
+        the next eligible epoch or loop exit (remote-device tunnels pay
+        ~15-30 s of full-state transfer per write)."""
         cfg = tiny_config(synth_env)
         cfg.paths.checkpoint_dir = str(tmp_path / "ckpt_gated")
         cfg.training.checkpoint_min_interval_epochs = 3
         train_loader, valid_loader, _ = make_loaders(cfg)
         pipe = TrainingPipeline(cfg, train_loader, valid_loader)
-        saved_epochs = []
+        saved_epochs, flushed_epochs = [], []
         monkeypatch.setattr(
             pipe, "save", lambda val: saved_epochs.append(pipe.epoch)
+        )
+        monkeypatch.setattr(
+            pipe, "_flush_pending",
+            lambda pending: flushed_epochs.append(pending[2]["epoch"]),
         )
         # force strictly improving val so every epoch WANTS to save
         monkeypatch.setattr(
@@ -340,8 +345,31 @@ class TestPipeline:
         )
         pipe.train(epochs=5, steps_per_epoch=1)
         # epoch counter is post-increment at save time: improvements at
-        # epochs 1..5 -> saves gate to 1, 4, and the final epoch 5
-        assert saved_epochs == [1, 4, 5]
+        # epochs 1..5 -> live writes at 1 and 4; the epoch-5 improvement is
+        # rate-limited and flushed at loop exit
+        assert saved_epochs == [1, 4]
+        assert flushed_epochs == [5]
+
+    def test_rate_limited_best_is_never_lost(self, synth_env, tmp_path, monkeypatch):
+        """A best-val improvement inside the rate-limit window must survive
+        even when val later worsens: the snapshot from the improvement epoch
+        is flushed, so restore(best=True) returns THOSE weights/meta."""
+        cfg = tiny_config(synth_env)
+        cfg.paths.checkpoint_dir = str(tmp_path / "ckpt_pending")
+        cfg.training.checkpoint_min_interval_epochs = 3
+        train_loader, valid_loader, _ = make_loaders(cfg)
+        pipe = TrainingPipeline(cfg, train_loader, valid_loader)
+        vals = iter([10.0, 2.0, 8.0, 9.0])
+        monkeypatch.setattr(
+            pipe, "validate_batches", lambda max_steps=None: next(vals)
+        )
+        pipe.train(epochs=4, steps_per_epoch=1)
+        # e1 val 10 saved; e2 val 2 rate-limited -> pending; e3/e4 worsen;
+        # the pending epoch-2 snapshot is flushed at the first eligible epoch
+        pipe2 = TrainingPipeline(cfg, train_loader, valid_loader)
+        pipe2.load(best=True)
+        assert pipe2.epoch == 2
+        assert min(pipe2.history["val_loss"]) == pytest.approx(2.0)
 
     def test_model_spec_from_config(self, synth_env):
         cfg = tiny_config(synth_env)
