@@ -38,12 +38,15 @@ def _compile(lowered):
     return compile_lowered(lowered)
 
 
-def _flagship(size: int = 128):
+def _flagship(size: int = 128, n_lr: int = 2):
     from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
     from sbgm_danra_tpu.sde import VESDE
 
     spec = ModelSpec(
-        in_channels=6,
+        # reference infer_in_channels (training_utils.py:588-595): n_lr + 2*2
+        # geo (the noised HR target is counted separately by the stem). n_lr=2
+        # is the flagship default; 10 matches configs/all_data.yaml
+        in_channels=n_lr + 4,
         num_classes=4,
         compute_dtype="bfloat16",
         # lowering knobs: identical math/params, different XLA programs
@@ -58,11 +61,11 @@ def _flagship(size: int = 128):
     return model, sde
 
 
-def _cond(b: int, size: int):
+def _cond(b: int, size: int, n_lr: int = 2):
     rng = np.random.default_rng(0)
     return {
         "y": jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
-        "cond_img": jnp.asarray(rng.normal(size=(b, size, size, 2)).astype(np.float32)),
+        "cond_img": jnp.asarray(rng.normal(size=(b, size, size, n_lr)).astype(np.float32)),
         "lsm_cond": jnp.asarray(
             (rng.random((b, size, size, 2)) > 0.5).astype(np.float32)
         ),
@@ -70,12 +73,12 @@ def _cond(b: int, size: int):
     }
 
 
-def _sampling_setup(batch: int, size: int, cfg_scale: float):
+def _sampling_setup(batch: int, size: int, cfg_scale: float, n_lr: int = 2):
     """Flagship inference setup shared by the sampler benchmarks: bf16-cast
     weights (sampling streams half the parameter bytes per forward; norm
     params stay fp32) + closed-over score_fn + conditioning."""
-    model, sde = _flagship(size)
-    cond = _cond(batch, size)
+    model, sde = _flagship(size, n_lr)
+    cond = _cond(batch, size, n_lr)
     init_kwargs = dict(
         x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
     )
@@ -104,11 +107,12 @@ def _time_compiled(run, n_rep: int = 3) -> float:
     return min(dts)
 
 
-def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0):
+def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0,
+                  n_lr: int = 2):
     """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
     from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
 
-    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale)
+    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale, n_lr)
     config = SamplerConfig(num_steps=steps, guidance_scale=cfg_scale)
     dt = _time_compiled(jax.jit(
         lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
@@ -148,14 +152,14 @@ def bench_edm(batch: int = 13, size: int = 128, nodes: int = 35, cfg_scale: floa
     ))
 
 
-def bench_train(batch: int = 16, size: int = 128, iters: int = 10):
+def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2):
     """Training samples/sec/chip on the flagship model."""
     from sbgm_danra_tpu.config import from_dict
     from sbgm_danra_tpu.training.state import create_train_state
     from sbgm_danra_tpu.training.train_step import make_train_step
 
-    model, sde = _flagship(size)
-    cond = _cond(batch, size)
+    model, sde = _flagship(size, n_lr)
+    cond = _cond(batch, size, n_lr)
     rng = np.random.default_rng(1)
     full = dict(
         x=jnp.asarray(rng.normal(size=(batch, size, size, 1)).astype(np.float32)),

@@ -64,10 +64,16 @@ def run_mode(cfg: Config, mode: str, args) -> None:
     elif mode == "synthetic_data":
         from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
 
+        # generate every variable the config trains on: the HR target plus
+        # all LR conditioning variables (10 for configs/all_data.yaml)
+        variables = tuple(dict.fromkeys(
+            [cfg.highres.variable, *(cfg.lowres.condition_variables or ())]
+        ))
         spec = SyntheticSpec(
             root=cfg.paths.data_dir,
             full_domain=tuple(cfg.highres.full_domain_dims),
             n_days=args.n_days,
+            variables=variables,
             crop_region=tuple(cfg.highres.cutout_domains)
             if cfg.highres.cutout_domains
             else None,

@@ -73,25 +73,64 @@ def daily_fields(
     date: str,
     shape: Tuple[int, int],
     topo: np.ndarray,
+    variables: Sequence[str] = ("temp", "prcp"),
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """One day of HR (DANRA) + LR (ERA5) fields in raw storage units."""
+    """One day of HR (DANRA) + LR (ERA5) fields in raw storage units.
+
+    Covers the full all-channels variable set of the reference
+    (full_run_all_data_config.yaml:47-56): temp/prcp plus cape, water-vapour
+    fluxes, mean-sea-level pressure and the four pressure-level geopotentials.
+    Each variable is stored in the units its unit-correction expects
+    (utils/units.py correct_variable_units: ERA5 CAPE in J/kg, msl in Pa,
+    z_pl_* as geopotential m^2/s^2), so multi-variable configs exercise the
+    same correction paths real archives would."""
     doy = int(date[4:6]) * 30 + int(date[6:8])
     seasonal = 10.0 * np.cos(2 * np.pi * (doy - 200) / 365.0)
+    out: Dict[str, Dict[str, np.ndarray]] = {"DANRA": {}, "ERA5": {}}
+
+    def put(var, hr, lr):
+        if var in variables:
+            out["DANRA"][var] = np.asarray(hr, np.float32)
+            out["ERA5"][var] = np.asarray(lr, np.float32)
+
     # temperature (Kelvin on disk)
     t_anom = 4.0 * smooth_noise(rng, shape, corr=0.1)
     temp_hr = 281.0 + seasonal + t_anom - 0.006 * topo
-    temp_lr = _blur(temp_hr) + 0.5 * smooth_noise(rng, shape, corr=0.3)
+    put("temp", temp_hr, _blur(temp_hr) + 0.5 * smooth_noise(rng, shape, corr=0.3))
     # precipitation: sparse log-normal (DANRA stores mm, ERA5 stores meters)
     p_base = smooth_noise(rng, shape, corr=0.12)
-    prcp_hr_mm = np.where(p_base > 0.4, np.exp(1.5 * p_base) - 1.0, 0.0).astype(np.float32)
+    prcp_hr_mm = np.where(p_base > 0.4, np.exp(1.5 * p_base) - 1.0, 0.0)
     prcp_lr_mm = np.maximum(_blur(prcp_hr_mm) + 0.05 * smooth_noise(rng, shape, corr=0.4), 0.0)
-    return {
-        "DANRA": {"temp": temp_hr.astype(np.float32), "prcp": prcp_hr_mm},
-        "ERA5": {
-            "temp": temp_lr.astype(np.float32),
-            "prcp": (prcp_lr_mm / 1000.0).astype(np.float32),  # meters on disk
-        },
-    }
+    put("prcp", prcp_hr_mm, prcp_lr_mm / 1000.0)  # meters on disk
+    # CAPE: sparse and summer-peaked; ERA5 stores J/kg (corrected to kJ/kg)
+    if "cape" in variables:
+        c_base = smooth_noise(rng, shape, corr=0.1)
+        warm = max(0.0, 1.0 + seasonal / 10.0)
+        cape_hr = np.maximum(c_base - 0.3, 0.0) * 800.0 * warm  # J/kg
+        # DANRA has no cape correction (units.py) -> store kJ/kg directly;
+        # ERA5 stores J/kg and is corrected to kJ/kg at load
+        put("cape", cape_hr / 1000.0, np.maximum(_blur(cape_hr), 0.0))
+    # water-vapour fluxes: signed, synoptic-scale (kg/m/s both models)
+    for var in ("ewvf", "nwvf"):
+        if var in variables:
+            f_hr = 120.0 * smooth_noise(rng, shape, corr=0.08)
+            put(var, f_hr, _blur(f_hr) + 5.0 * smooth_noise(rng, shape, corr=0.3))
+    # mean-sea-level pressure: ERA5 stores Pa (corrected to hPa)
+    if "msl" in variables:
+        msl_pa = 101325.0 + 800.0 * smooth_noise(rng, shape, corr=0.05)
+        put("msl", msl_pa / 100.0, msl_pa)  # DANRA convention hPa; ERA5 Pa
+    # pressure-level geopotentials: ERA5 stores m^2/s^2 (corrected to height m)
+    z_means = {"z_pl_250": 10400.0, "z_pl_500": 5600.0,
+               "z_pl_850": 1450.0, "z_pl_1000": 110.0}
+    for var, zbar in z_means.items():
+        if var in variables:
+            z_m = zbar + (8.0 + zbar / 200.0) * smooth_noise(rng, shape, corr=0.06) \
+                + 3.0 * seasonal
+            put(var, z_m, z_m * 9.81)  # DANRA height (m); ERA5 geopotential
+    missing = set(variables) - set(out["DANRA"])
+    if missing:
+        raise ValueError(f"synthetic generator has no recipe for {sorted(missing)}")
+    return out
 
 
 def date_range(start: str, n_days: int) -> List[str]:
@@ -161,7 +200,7 @@ def generate(spec: SyntheticSpec) -> Dict[str, str]:
         model: {v: [] for v in spec.variables} for model in ("DANRA", "ERA5")
     }
     for date in dates:
-        day = daily_fields(rng, date, spec.full_domain, topo)
+        day = daily_fields(rng, date, spec.full_domain, topo, spec.variables)
         for model in all_days:
             for var in spec.variables:
                 all_days[model][var].append(day[model][var])

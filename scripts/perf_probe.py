@@ -379,6 +379,30 @@ def probe_train():
     }))
 
 
+def probe_multivar():
+    """BASELINE scale-config 3 on hardware: the all_data 10-LR-variable
+    channel count (configs/all_data.yaml -> in_channels 14 = 10 LR + 2x2
+    geo; reference full_run_all_data_config.yaml:47-56). Measures the PC+CFG
+    sampler at the 13-member contract batch and training at the batch-128
+    sweet spot, both at 128x128 — directly comparable to the 2-LR flagship
+    rows in BASELINE.md. SBGM_PROBE_LR overrides the LR-variable count."""
+    from bench import bench_sampler, bench_train
+
+    n_lr = int(os.environ.get("SBGM_PROBE_LR", "10"))
+    steps_per_sec, util = bench_sampler(batch=MEMBERS, n_lr=n_lr)
+    print(json.dumps({
+        "probe": "multivar", "n_lr": n_lr, "members": MEMBERS,
+        "pc_steps_per_sec": round(steps_per_sec, 2),
+        "mxu_util": round(util, 3) if util else None,
+    }))
+    b = int(os.environ.get("SBGM_PROBE_TRAIN_BATCH", "128"))
+    sps = bench_train(batch=b, n_lr=n_lr)
+    print(json.dumps({
+        "probe": "multivar", "n_lr": n_lr, "train_batch": b,
+        "train_samples_per_sec": round(sps, 1),
+    }))
+
+
 def probe_dump():
     """Write the compiled HLO of the guided forward to /tmp/fwd_hlo.txt."""
     sde, cond, score_fn = setup()
@@ -640,4 +664,5 @@ if __name__ == "__main__":
     {"forward": probe_forward, "stages": probe_stages, "scan": probe_scan,
      "noattn": probe_noattn, "parts": probe_parts, "cand": probe_cand,
      "train": probe_train, "dump": probe_dump, "loader": probe_loader,
-     "fused_gn": probe_fused_gn, "ckpt": probe_ckpt}[sys.argv[1]]()
+     "fused_gn": probe_fused_gn, "ckpt": probe_ckpt,
+     "multivar": probe_multivar}[sys.argv[1]]()

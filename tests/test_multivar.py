@@ -66,6 +66,61 @@ class TestMultiVariableConditioning:
         assert batch["cond_img"].shape[-1] == 2
         assert cfg.in_channels() == 2 + 4
 
+    ALL_VARS = ("temp", "prcp", "cape", "ewvf", "nwvf", "msl",
+                "z_pl_250", "z_pl_500", "z_pl_850", "z_pl_1000")
+
+    def test_all_data_variable_set_end_to_end(self, tmp_path):
+        """The full all_data.yaml conditioning set (10 LR variables incl. the
+        pressure-level geopotentials, reference
+        full_run_all_data_config.yaml:47-56): synthetic stores + stats for
+        every variable, loader yields 10 sorted cond channels, units
+        corrected (ERA5 msl Pa->hPa, z_pl geopotential->height)."""
+        from sbgm_danra_tpu.data.factory import make_loaders
+        from sbgm_danra_tpu.data.loader import extract_batch
+        from sbgm_danra_tpu.data.synthetic import SyntheticSpec, generate
+        from tests.test_training import tiny_config
+
+        root = str(tmp_path)
+        generate(SyntheticSpec(root=root, full_domain=(48, 64), n_days=8,
+                               crop_region=(8, 40, 16, 56),
+                               variables=self.ALL_VARS))
+        cfg = tiny_config(root)
+        cfg.lowres.condition_variables = self.ALL_VARS
+        cfg.lowres.scaling_methods = (
+            "zscore", "log_zscore", "log_zscore", "zscore", "zscore",
+            "zscore", "zscore", "zscore", "zscore", "zscore",
+        )
+        train_loader, _, _ = make_loaders(cfg)
+        batch = extract_batch(next(iter(train_loader)), cfg.highres.variable)
+        assert batch["cond_img"].shape[-1] == len(self.ALL_VARS)
+        assert cfg.in_channels() == 10 + 4
+        assert np.isfinite(np.asarray(batch["cond_img"])).all()
+
+    def test_synthetic_units_are_storage_units(self, tmp_path):
+        """ERA5 stores raw units (msl in Pa, z_pl as geopotential) so the
+        unit-correction path is exercised; after correction the HR/LR fields
+        agree in magnitude."""
+        from sbgm_danra_tpu.data.synthetic import daily_fields, make_geography
+        from sbgm_danra_tpu.utils.units import correct_variable_units
+
+        rng = np.random.default_rng(0)
+        _, topo = make_geography(rng, (32, 48))
+        day = daily_fields(rng, "20000701", (32, 48), topo, self.ALL_VARS)
+        assert day["ERA5"]["msl"].mean() > 5e4        # Pa
+        assert day["DANRA"]["msl"].mean() < 2e3       # hPa
+        for var in ("msl", "z_pl_500", "cape"):
+            lr = correct_variable_units(var, "ERA5", day["ERA5"][var])
+            hr = correct_variable_units(var, "DANRA", day["DANRA"][var])
+            assert np.abs(lr.mean() - hr.mean()) < 0.2 * (abs(hr.mean()) + 1.0)
+
+    def test_unknown_variable_raises(self, tmp_path):
+        from sbgm_danra_tpu.data.synthetic import daily_fields, make_geography
+
+        rng = np.random.default_rng(0)
+        _, topo = make_geography(rng, (16, 16))
+        with pytest.raises(ValueError, match="no recipe"):
+            daily_fields(rng, "20000101", (16, 16), topo, ("temp", "blorp"))
+
 
 class TestPreviewSampling:
     def test_previews_written_during_training(self, tmp_path):
