@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
@@ -160,11 +161,28 @@ class DanraDataset:
         self._rng = np.random.default_rng(seed)
         self.cache_size = cache_size
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        # the loader fetches samples from a thread pool (data/loader.py:80):
+        # dict mutation and the shared eviction Generator need the lock
+        self._cache_lock = threading.Lock()
 
         if "topo" in self.geo_variables and topo_full_domain is None:
             raise ValueError("topo_full_domain must be provided when 'topo' is used")
         if "lsm" in self.geo_variables and lsm_full_domain is None:
             raise ValueError("lsm_full_domain must be provided when 'lsm' is used")
+        if (
+            self.lr_cutout_domains is not None
+            and self.lr_data_size is None
+            and tuple(self.lr_cutout_domains) != tuple(self.cutout_domains or ())
+        ):
+            # a separate LR window only engages when lr_data_size is also set
+            # (reference :747-763); a differing domain without it would be
+            # silently replaced by the HR window
+            logger.warning(
+                "lr_cutout_domains %s differs from cutout_domains %s but "
+                "lr_data_size is unset — the HR crop window will be used for "
+                "LR conditions; set lowres.data_size to activate the LR window",
+                self.lr_cutout_domains, self.cutout_domains,
+            )
 
         # date -> file key maps and the common-date intersection (reference :527-558)
         self._hr_group = zarrlite.open_group(hr.zarr_path, mode="r")
@@ -222,12 +240,47 @@ class DanraDataset:
         return data.astype(np.float32)
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
-        if self.cache_size > 0 and (self.split != "train" or not self.cutouts):
-            cached = self._cache.get(idx)
-            if cached is not None:
-                return cached
-
         rng = rng or self._rng
+        use_cache = self.cache_size > 0 and (self.split != "train" or not self.cutouts)
+        sample = None
+        if use_cache:
+            with self._cache_lock:
+                cached = self._cache.get(idx)
+            if cached is not None:
+                sample = dict(cached)  # shallow copy: dropout/mask assign new arrays
+        if sample is None:
+            sample = self._build_sample(idx, rng)
+            if use_cache:
+                with self._cache_lock:
+                    if len(self._cache) >= self.cache_size:
+                        evict = self._rng.choice(list(self._cache.keys()))
+                        self._cache.pop(int(evict), None)
+                    self._cache[idx] = sample
+                sample = dict(sample)
+
+        # CFG dropout (train only, reference :957-982) — applied OUTSIDE the
+        # cache so the Bernoulli draw stays i.i.d. per (epoch, index) even
+        # when the base sample is cached (train-without-cutouts).
+        dropped = False
+        if self.cfg_dropout_enabled and rng.random() < self.cfg_dropout_prob:
+            dropped = True
+            for key in list(sample):
+                if key.endswith("_lr"):
+                    sample[key] = np.zeros_like(sample[key])
+            if "classifier" in sample:
+                sample["classifier"] = np.int32(0)
+
+        # append the geo mask channel: 1 kept / 0 dropped (reference :985-993)
+        mask_val = 0.0 if dropped else 1.0
+        for geo in ("lsm", "topo"):
+            if geo in sample and sample[geo].shape[-1] == 1:
+                mask = np.full_like(sample[geo], mask_val)
+                sample[geo] = np.concatenate([sample[geo], mask], axis=-1)
+        return sample
+
+    def _build_sample(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Everything up to (and excluding) CFG dropout + geo mask append —
+        the cacheable part of a sample."""
         date = self.common_dates[idx]
         sample: Dict[str, np.ndarray] = {}
 
@@ -300,29 +353,6 @@ class DanraDataset:
         if self.cutouts:
             sample["hr_points"] = np.asarray(hr_point, np.int32)
             sample["lr_points"] = np.asarray(lr_point, np.int32)
-
-        # CFG dropout (train only, reference :957-982)
-        dropped = False
-        if self.cfg_dropout_enabled and rng.random() < self.cfg_dropout_prob:
-            dropped = True
-            for key in list(sample):
-                if key.endswith("_lr"):
-                    sample[key] = np.zeros_like(sample[key])
-            if "classifier" in sample:
-                sample["classifier"] = np.int32(0)
-
-        # append the geo mask channel: 1 kept / 0 dropped (reference :985-993)
-        mask_val = 0.0 if dropped else 1.0
-        for geo in ("lsm", "topo"):
-            if geo in sample and sample[geo].shape[-1] == 1:
-                mask = np.full_like(sample[geo], mask_val)
-                sample[geo] = np.concatenate([sample[geo], mask], axis=-1)
-
-        if self.cache_size > 0 and (self.split != "train" or not self.cutouts):
-            if len(self._cache) >= self.cache_size:
-                evict = self._rng.choice(list(self._cache.keys()))
-                self._cache.pop(int(evict), None)
-            self._cache[idx] = sample
         return sample
 
     def date_of(self, idx: int) -> str:

@@ -58,7 +58,20 @@ def shard_state_tp(state: TrainState, mesh: Mesh) -> TrainState:
                 return jax.device_put(leaf, repl)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put_by_shape, state)
+    # params and ema_params go through the NAME-based tp rules (the source of
+    # truth); the shape lookup serves only the optimizer moments, whose optax
+    # trees reuse param shapes but not param names. A non-kernel leaf that
+    # merely coincides in shape with a sharded kernel therefore cannot be
+    # mis-sharded in the param trees.
+    state = state.replace(
+        params=tp.shard_params(state.params, mesh),
+        ema_params=tp.shard_params(state.ema_params, mesh),
+    )
+    placed_rest = jax.tree.map(
+        put_by_shape,
+        state.replace(params=None, ema_params=None),
+    )
+    return placed_rest.replace(params=state.params, ema_params=state.ema_params)
 
 
 def make_parallel_steps(

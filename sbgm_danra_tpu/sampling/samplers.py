@@ -81,7 +81,7 @@ def em_sampler(
     x = _init_x(init_rng, shape, sde)
     b = shape[0]
     time_steps = jnp.linspace(1.0, config.eps, config.num_steps)
-    dt = (1.0 - config.eps) / (config.num_steps - 1)
+    dt = (1.0 - config.eps) / max(config.num_steps - 1, 1)
 
     def step(carry, t):
         x, _, key = carry
@@ -121,7 +121,7 @@ def pc_sampler(
         d *= s
     noise_norm = jnp.sqrt(jnp.float32(d))
     time_steps = jnp.linspace(1.0, config.eps, config.num_steps)
-    dt = (1.0 - config.eps) / (config.num_steps - 1)
+    dt = (1.0 - config.eps) / max(config.num_steps - 1, 1)
 
     def step(carry, t):
         x, _, key = carry
@@ -198,7 +198,7 @@ def ode_sampler(
         return x
 
     time_steps = jnp.linspace(1.0, config.eps, config.num_steps)
-    dt = -(1.0 - config.eps) / (config.num_steps - 1)
+    dt = -(1.0 - config.eps) / max(config.num_steps - 1, 1)
 
     if config.ode_method == "heun":
 

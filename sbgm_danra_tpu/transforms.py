@@ -406,6 +406,10 @@ def build_back_transforms(
             return ZScoreBack(p["glob_mean"], p["glob_std"])
         if method in ("01", "scale01"):
             return LinearScaleBack(0.0, 1.0, p["glob_min"], p["glob_max"])
+        if method == "scale_minus1_1":
+            return LinearScaleBack(-1.0, 1.0, p["glob_min"], p["glob_max"])
+        if method in ("none", None):
+            return Identity()
         raise ValueError(f"Unknown scaling method: {method}")
 
     bt: Dict[str, Transform] = {}

@@ -302,6 +302,28 @@ class TestDataset:
         np.testing.assert_array_equal(k["lsm"][..., 1], 1.0)
         assert k["classifier"] in (1, 2, 3, 4)
 
+    def test_cache_does_not_freeze_cfg_dropout(self, dataset):
+        """With a cacheable train config (cutouts off) the CFG dropout draw
+        must stay i.i.d. per call — the cache holds the PRE-dropout sample,
+        never the first epoch's Bernoulli outcome."""
+        dataset.cutouts = True  # module-scoped fixture: restore below
+        try:
+            dataset.cutouts = False
+            dataset.cache_size = 4
+            flags = set()
+            for i in range(40):
+                s = dataset.__getitem__(0, rng=np.random.default_rng(i))
+                flags.add(float(s["lsm"][..., 1].max()))
+            assert flags == {0.0, 1.0}, flags
+            # and the cached base sample was not mutated by the dropout pass
+            base = dataset._cache[0]
+            assert base["lsm"].shape[-1] == 1
+            assert np.abs(base["temp_lr"]).max() > 0
+        finally:
+            dataset.cutouts = True
+            dataset.cache_size = 0
+            dataset._cache.clear()
+
     def test_reproducible_given_rng(self, dataset):
         a = dataset.__getitem__(3, rng=np.random.default_rng(7))
         b = dataset.__getitem__(3, rng=np.random.default_rng(7))

@@ -44,6 +44,14 @@ class TestEMSampler:
         assert samples.mean() == pytest.approx(MU, abs=0.15)
         assert samples.std() == pytest.approx(S0, rel=0.1)
 
+    def test_single_step_runs(self):
+        """num_steps=1 is a valid smoke value: one update at t=1, no crash
+        (the grid spacing guards against the num_steps-1 division)."""
+        for sampler in (em_sampler, pc_sampler):
+            cfg = SamplerConfig(num_steps=1)
+            out = sampler(exact_score, jax.random.PRNGKey(0), (2, 8, 8, 1), SDE, cfg)
+            assert np.isfinite(np.asarray(out)).all()
+
     def test_deterministic_given_key(self):
         cfg = SamplerConfig(num_steps=20)
         a = em_sampler(exact_score, jax.random.PRNGKey(7), (4, 8, 8, 1), SDE, cfg)

@@ -165,6 +165,30 @@ class TestStatsIO:
         assert bt["generated"] is bt["prcp_hr"]
         assert isinstance(bt["temp_lr"], T.ZScoreBack)
 
+    def test_inline_params_all_documented_methods(self):
+        """build_back_transforms (inline legacy params) accepts every method
+        the module documents: zscore, 01, scale_minus1_1, log_*, none."""
+        params = {"glob_mean": 2.0, "glob_std": 3.0, "glob_min": -5.0,
+                  "glob_max": 5.0}
+        for method, probe in [
+            ("zscore", 0.5), ("01", 0.5), ("scale_minus1_1", 0.0), ("none", 1.5),
+        ]:
+            bt = T.build_back_transforms(
+                hr_var="temp", hr_scaling_method=method,
+                hr_scaling_params=params, lr_vars=[], lr_scaling_methods=[],
+                lr_scaling_params=[],
+            )
+            out = bt["generated"](np.float32(probe))
+            assert np.isfinite(out)
+        # scale_minus1_1 inverse maps [-1, 1] back to [min, max]
+        bt = T.build_back_transforms(
+            hr_var="temp", hr_scaling_method="scale_minus1_1",
+            hr_scaling_params=params, lr_vars=[], lr_scaling_methods=[],
+            lr_scaling_params=[],
+        )
+        np.testing.assert_allclose(bt["generated"](np.float32(-1.0)), -5.0)
+        np.testing.assert_allclose(bt["generated"](np.float32(1.0)), 5.0)
+
     def test_missing_stats_raise(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             T.build_back_transforms_from_stats(
