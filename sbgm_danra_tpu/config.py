@@ -108,7 +108,7 @@ class LowresConfig:
 
 @dataclass
 class SamplerConfig:
-    sampler_type: str = "pc_sampler"  # pc_sampler | em_sampler | ode_sampler | edm_sampler
+    sampler_type: str = "pc_sampler"  # pc_sampler | em_sampler | ode_sampler | edm_sampler | dpmpp_sampler
     n_timesteps: int = 1000
     time_embedding: int = 256
     last_fmap_channels: int = 512

@@ -167,6 +167,8 @@ SAMPLER_GRID: Sequence[Dict] = (
     {"label": "edm_35_churn", "sampler": "edm_sampler", "num_steps": 35, "nfe": 68,
      "s_churn": 14.0},
     {"label": "edm_50", "sampler": "edm_sampler", "num_steps": 50, "nfe": 98},
+    {"label": "dpmpp_25", "sampler": "dpmpp_sampler", "num_steps": 25, "nfe": 24},
+    {"label": "dpmpp_35", "sampler": "dpmpp_sampler", "num_steps": 35, "nfe": 34},
 )
 
 

@@ -3,6 +3,7 @@
 from sbgm_danra_tpu.sampling.guidance import apply_guidance, null_conditioning
 from sbgm_danra_tpu.sampling.samplers import (
     SamplerConfig,
+    dpmpp_sampler,
     edm_sampler,
     em_sampler,
     get_sampler,
@@ -14,6 +15,7 @@ __all__ = [
     "SamplerConfig",
     "apply_guidance",
     "null_conditioning",
+    "dpmpp_sampler",
     "edm_sampler",
     "em_sampler",
     "pc_sampler",

@@ -381,6 +381,94 @@ def edm_sampler(
     return ms[-1] * xhat
 
 
+def dpmpp_sampler(
+    score_fn: ScoreFn,
+    rng: Array,
+    shape: Sequence[int],
+    sde: VESDE | VPSDE = VESDE(),
+    config: SamplerConfig = SamplerConfig(num_steps=25),
+    cond: Optional[Dict[str, Array]] = None,
+    z: Optional[Array] = None,
+) -> Array:
+    """DPM-Solver++(2M) (Lu et al. 2022): second-order multistep solver for
+    the probability-flow ODE over the Karras rho-grid — ONE model evaluation
+    per step, half of ``edm_sampler``'s Heun cost at equal node count.
+
+    The reference has no counterpart (its fastest path is the unused EDM
+    schedule stub, sbgm/score_sampling.py:304-307); this is the framework's
+    lowest-NFE deterministic sampler: num_steps - 1 score evaluations
+    (2x with CFG) versus EDM-Heun's 2(num_steps - 1) and PC's 2*num_steps.
+
+    Works in the same hat coordinates as ``edm_sampler``: xhat = x / m(t),
+    shat = std(t) / m(t), where the ODE is dxhat/dshat = (xhat - D) / shat
+    with the denoiser D(xhat, t) = xhat + shat^2 * m * score(m xhat, t).
+    In log-sigma time lambda = -ln shat the exact variation-of-constants
+    update is xhat_{i+1} = (shat_{i+1}/shat_i) xhat_i + (1 - shat_{i+1}/
+    shat_i) D_bar, with D_bar the multistep linear extrapolation of D:
+    first step D_bar = D_i (first order / DDIM), afterwards
+    D_bar = (1 + 1/(2r)) D_i - 1/(2r) D_{i-1}, r = h_{i-1}/h_i,
+    h_i = lambda_{i+1} - lambda_i. Deterministic given the latent: churn is
+    intentionally unsupported (the capstone study measured trajectory noise
+    strictly harmful with a learned score — BASELINE.md, s_churn=0 default).
+    """
+    cond = cond or {}
+    guided = _prepare(score_fn, config)
+    b = shape[0]
+
+    from sbgm_danra_tpu.sde import edm_sigma_schedule
+
+    def m_of(t):
+        return sde.marginal_prob_mean_coeff(jnp.asarray(t, jnp.float32))
+
+    shat_max = sde.prior_std() / m_of(1.0)
+    shat_min = sde.marginal_prob_std(jnp.float32(config.eps)) / m_of(config.eps)
+    shats = edm_sigma_schedule(config.num_steps, shat_min, shat_max, config.edm_rho)
+    ts = sde.inverse_hat_std(shats)
+    ms = m_of(ts)
+
+    if z is None:
+        xhat = jax.random.normal(rng, tuple(shape), jnp.float32) * shat_max
+    else:
+        xhat = z / m_of(1.0)
+
+    if config.num_steps < 2:
+        return ms[-1] * xhat
+
+    def denoise(xhat, t, m, shat):
+        bt = jnp.full((b,), t, jnp.float32)
+        return xhat + shat**2 * m * guided((m * xhat).astype(xhat.dtype), bt, **cond)
+
+    lams = -jnp.log(shats)
+    hs = lams[1:] - lams[:-1]  # positive: shat decreases along the grid
+
+    # first interval: first-order (no history yet)
+    d0 = denoise(xhat, ts[0], ms[0], shats[0])
+    ratio0 = shats[1] / shats[0]
+    xhat = ratio0 * xhat + (1.0 - ratio0) * d0
+    if config.num_steps == 2:
+        return ms[-1] * xhat
+
+    xs = {
+        "t": ts[1:-1],
+        "m": ms[1:-1],
+        "shat": shats[1:-1],
+        "ratio": shats[2:] / shats[1:-1],
+        # r_i = h_{i-1}/h_i for intervals i = 1..n-2
+        "r": hs[:-1] / hs[1:],
+    }
+
+    def step(carry, node):
+        xhat, d_prev = carry
+        d = denoise(xhat, node["t"], node["m"], node["shat"])
+        w = 1.0 / (2.0 * node["r"])
+        d_bar = (1.0 + w) * d - w * d_prev
+        xhat = node["ratio"] * xhat + (1.0 - node["ratio"]) * d_bar
+        return (xhat, d), None
+
+    (xhat, _), _ = jax.lax.scan(step, (xhat, d0), xs)
+    return ms[-1] * xhat
+
+
 _SAMPLERS = {
     "em_sampler": em_sampler,
     "euler_maruyama": em_sampler,
@@ -388,6 +476,8 @@ _SAMPLERS = {
     "ode_sampler": ode_sampler,
     "edm_sampler": edm_sampler,
     "edm": edm_sampler,
+    "dpmpp_sampler": dpmpp_sampler,
+    "dpmpp_2m": dpmpp_sampler,
 }
 
 

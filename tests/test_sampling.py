@@ -369,6 +369,102 @@ class TestEDMSampler:
         assert get_sampler("edm") is edm_sampler
 
 
+class TestDPMppSampler:
+    """DPM-Solver++(2M) over the Karras grid: one NFE per interval — the
+    lowest-NFE deterministic path (no reference counterpart)."""
+
+    def test_exact_gaussian_transport_ve(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler
+
+        cfg = SamplerConfig(num_steps=25)
+        samples = np.asarray(
+            jax.jit(lambda r: dpmpp_sampler(exact_score, r, SHAPE, SDE, cfg))(
+                jax.random.PRNGKey(3)
+            )
+        )
+        assert samples.shape == SHAPE
+        # same deterministic closed-form transport as the ODE/EDM tests, at
+        # 24 NFE (EDM-35 needs 68 for the same tolerance)
+        mean_exp, std_exp = TestODESampler._expected()
+        assert samples.mean() == pytest.approx(mean_exp, abs=0.05)
+        assert samples.std() == pytest.approx(std_exp, rel=0.03)
+
+    def test_vp_transport(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler
+        from sbgm_danra_tpu.sde import VPSDE
+
+        vp = VPSDE()
+
+        def vp_score(x, t, **_):
+            m = vp.marginal_prob_mean_coeff(t).reshape(-1, 1, 1, 1)
+            var = (m * S0) ** 2 + vp.marginal_prob_std(t).reshape(-1, 1, 1, 1) ** 2
+            return -(x - m * MU) / var
+
+        cfg = SamplerConfig(num_steps=30)
+        samples = np.asarray(
+            jax.jit(lambda r: dpmpp_sampler(vp_score, r, SHAPE, vp, cfg))(
+                jax.random.PRNGKey(4)
+            )
+        )
+        assert samples.mean() == pytest.approx(MU, abs=0.15)
+        assert samples.std() == pytest.approx(S0, rel=0.1)
+
+    def test_one_nfe_per_interval(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler
+
+        calls = []
+
+        def counting_score(x, t, **kw):
+            calls.append(1)
+            return exact_score(x, t)
+
+        dpmpp_sampler(
+            counting_score, jax.random.PRNGKey(0), (2, 4, 4, 1), SDE,
+            SamplerConfig(num_steps=5),
+        )
+        # first interval eager + scan body traced once = 2 python-level calls;
+        # the compiled program evaluates num_steps - 1 times total (one per
+        # interval, vs edm_sampler's two Heun stages per interval)
+        assert len(calls) == 2
+
+    def test_matches_edm_at_high_node_count(self):
+        """Both solve the same probability-flow ODE: on a dense grid with the
+        exact score they must agree sample-for-sample (same latent)."""
+        from sbgm_danra_tpu.sampling import dpmpp_sampler, edm_sampler
+
+        z = jax.random.normal(jax.random.PRNGKey(11), (8, 8, 8, 1)) * SDE.prior_std()
+        cfg = SamplerConfig(num_steps=128)
+        a = dpmpp_sampler(exact_score, jax.random.PRNGKey(0), (8, 8, 8, 1), SDE, cfg, z=z)
+        b = edm_sampler(exact_score, jax.random.PRNGKey(1), (8, 8, 8, 1), SDE, cfg, z=z)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.0, atol=5e-3)
+
+    def test_deterministic_given_latent(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler
+
+        z = jax.random.normal(jax.random.PRNGKey(9), (4, 8, 8, 1)) * SDE.prior_std()
+        cfg = SamplerConfig(num_steps=12)
+        a = dpmpp_sampler(exact_score, jax.random.PRNGKey(0), (4, 8, 8, 1), SDE, cfg, z=z)
+        b = dpmpp_sampler(exact_score, jax.random.PRNGKey(5), (4, 8, 8, 1), SDE, cfg, z=z)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tiny_step_counts_run(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler
+
+        for n in (1, 2, 3):
+            out = dpmpp_sampler(
+                exact_score, jax.random.PRNGKey(0), (2, 4, 4, 1), SDE,
+                SamplerConfig(num_steps=n),
+            )
+            assert out.shape == (2, 4, 4, 1)
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_registry(self):
+        from sbgm_danra_tpu.sampling import dpmpp_sampler, get_sampler
+
+        assert get_sampler("dpmpp_sampler") is dpmpp_sampler
+        assert get_sampler("dpmpp_2m") is dpmpp_sampler
+
+
 class TestInverseStd:
     @pytest.mark.parametrize("sde_cls", ["ve", "vp"])
     def test_round_trip(self, sde_cls):
