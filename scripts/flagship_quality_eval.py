@@ -43,6 +43,9 @@ def main():
                    help="EDM s_churn in {0,7,21,28} at w=3 (14 is the default run)")
     p.add_argument("--nfe_sweep", action="store_true",
                    help="EDM node count in {18,50,80} at w=3 (35 is the default run)")
+    p.add_argument("--dpmpp", action="store_true",
+                   help="add DPM-Solver++(2M) rows (25 nodes, w in {0,3}) — "
+                        "the 24-NFE deterministic path, learned-score check")
     p.add_argument("--calibrate", action="store_true",
                    help="fit spread calibration on VALID-split ensembles and "
                         "report calibrated test metrics (evaluate/calibration.py)")
@@ -267,6 +270,20 @@ def main():
             )
             key = f"edm{n}_w3"
             results[key] = metrics(m_)
+            results[key]["run_s"] = round(tr, 3)
+            checkpoint_results()
+            print(key, "crps:", results[key]["normalized"]["crps"])
+
+    if args.dpmpp:
+        # learned-score check for the 24-NFE multistep path (exact-score
+        # parity is pinned in BASELINE.md; this measures it with a real model)
+        for wgt in (3.0, 0.0):
+            m_, tc, tr = run_sampler(
+                "dpmpp_sampler", 25, None if wgt == 0.0 else wgt, 0.0, seed=5
+            )
+            key = f"dpmpp25_w{int(wgt)}"
+            results[key] = metrics(m_)
+            results[key]["compile_s"] = round(tc, 2)
             results[key]["run_s"] = round(tr, 3)
             checkpoint_results()
             print(key, "crps:", results[key]["normalized"]["crps"])
