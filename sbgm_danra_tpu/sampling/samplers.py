@@ -439,7 +439,11 @@ def dpmpp_sampler(
         return xhat + shat**2 * m * guided((m * xhat).astype(xhat.dtype), bt, **cond)
 
     lams = -jnp.log(shats)
-    hs = lams[1:] - lams[:-1]  # positive: shat decreases along the grid
+    # Positive: shat strictly decreases along the Karras grid. Guarded so a
+    # degenerate grid (shat_min == shat_max, or adjacent nodes rounding to the
+    # same float32 value at extreme rho) yields a finite no-op step instead of
+    # a 0/0 NaN in the multistep ratio r = h_{i-1}/h_i below.
+    hs = jnp.maximum(lams[1:] - lams[:-1], 1e-12)
 
     # first interval: first-order (no history yet)
     d0 = denoise(xhat, ts[0], ms[0], shats[0])

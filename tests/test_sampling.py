@@ -422,9 +422,15 @@ class TestDPMppSampler:
             counting_score, jax.random.PRNGKey(0), (2, 4, 4, 1), SDE,
             SamplerConfig(num_steps=5),
         )
-        # first interval eager + scan body traced once = 2 python-level calls;
-        # the compiled program evaluates num_steps - 1 times total (one per
-        # interval, vs edm_sampler's two Heun stages per interval)
+        # Trace-count PROXY (same caveat as TestPCSampler): 2 python-level
+        # calls = first interval eager + scan body traced ONCE. This pins the
+        # program structure (a single scan over intervals with one score call
+        # in the body), not the executed NFE; the compiled program evaluates
+        # the score num_steps - 1 times total (one per interval — the scan
+        # runs its once-traced body num_steps - 2 times — vs edm_sampler's
+        # two Heun stages per interval). Executed-NFE parity is covered
+        # indirectly by test_matches_edm_at_high_node_count, which would fail
+        # if intervals were skipped or doubled.
         assert len(calls) == 2
 
     def test_matches_edm_at_high_node_count(self):
