@@ -17,8 +17,17 @@ deployment needs one. This module provides:
                                 omitted -> cfg.evaluation.spread_calibration.
 
 Conditions use the model contract: cond_img [H, W, C_lr], lsm/topo [H, W, 2]
-value||mask, y class index. Requests are queued and served sequentially — the
-TPU is a single shared executor; batching across requests is the caller's job.
+value||mask, y class index.
+
+Concurrency (VERDICT r3 item 5): the TPU is a single shared executor and the
+compiled program has a fixed member capacity, so the engine COALESCES
+concurrent requests — a dispatcher thread greedily packs every queued
+request's member rows into the next fixed-shape dispatch (no artificial
+batching window: the in-flight dispatch, ~0.1-1 s of device time, is the
+natural collection period). Each member row carries its own RNG key derived
+from the request's seed, so results are bit-identical whether a request ran
+alone or co-batched: the member axis is `vmap`-ed and the UNet has no
+cross-sample ops at inference.
 """
 
 from __future__ import annotations
@@ -27,8 +36,9 @@ import json
 import logging
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,18 +78,32 @@ class InferenceEngine:
         rf = cfg.lowres.resize_factor
         self.hw = (s[0] // rf, s[1] // rf)
         sampler = get_sampler(cfg.sampler.sampler_type)
-        shape = (max_members, *self.hw, 1)
 
-        def run(key, cond):
-            return sampler(self.score_fn, key, shape, self.sde, self.sampler_config, cond=cond)
+        # One member = one row with its OWN rng key; the member axis is vmapped
+        # so a row's trajectory depends only on (key, condition row) — the
+        # coalescer below can then co-batch unrelated requests without
+        # affecting any request's reproducibility.
+        def one_member(key, cond_row):
+            cond_b = jax.tree.map(lambda v: v[None], cond_row)
+            out = sampler(
+                self.score_fn, key, (1, *self.hw, 1), self.sde,
+                self.sampler_config, cond=cond_b,
+            )
+            return out[0]
+
+        def run(keys, cond):
+            return jax.vmap(one_member)(keys, cond)
 
         self._jitted = jax.jit(run)
         self._run = self._jitted  # replaced by the compiled executable in warmup()
-        self._lock = threading.Lock()
+        self._batcher = _Batcher(self)
         self.model_string = get_model_string(cfg)
+        # serving-under-load observability: dispatches vs rows served
+        self.n_dispatches = 0
+        self.n_rows = 0
 
-    def _zero_cond(self) -> Dict[str, jnp.ndarray]:
-        """The full condition pytree at warmup shapes, all-zero.
+    def _zero_row(self) -> Dict[str, np.ndarray]:
+        """One all-zero condition row (no member axis), host-side.
 
         Zeros are the model's CFG-null protocol (dropped LR fields, zeroed geo
         mask channel, class 0), so they are also the semantic default for
@@ -87,10 +111,17 @@ class InferenceEngine:
         """
         n_lr = len(self.cfg.lowres.condition_variables or ())
         return {
-            "y": jnp.zeros((self.max_members,), jnp.int32),
-            "cond_img": jnp.zeros((self.max_members, *self.hw, n_lr)),
-            "lsm_cond": jnp.zeros((self.max_members, *self.hw, 2)),
-            "topo_cond": jnp.zeros((self.max_members, *self.hw, 2)),
+            "y": np.zeros((), np.int32),
+            "cond_img": np.zeros((*self.hw, n_lr), np.float32),
+            "lsm_cond": np.zeros((*self.hw, 2), np.float32),
+            "topo_cond": np.zeros((*self.hw, 2), np.float32),
+        }
+
+    def _zero_cond(self) -> Dict[str, jnp.ndarray]:
+        """The full condition pytree at warmup/dispatch shapes, all-zero."""
+        return {
+            k: jnp.asarray(np.broadcast_to(v, (self.max_members, *v.shape)))
+            for k, v in self._zero_row().items()
         }
 
     def warmup(self) -> float:
@@ -98,15 +129,15 @@ class InferenceEngine:
 
         Compiles with the measured TPU options (compile_options.py) and swaps
         the jitted callable for the compiled executable — all requests share
-        one program, served under the engine lock.
+        one fixed-shape program, fed by the coalescing dispatcher.
         """
         from sbgm_danra_tpu.compile_options import compile_lowered
 
         t0 = time.time()
         cond = self._zero_cond()
-        key = jax.random.PRNGKey(0)
-        self._run = compile_lowered(self._jitted.lower(key, cond))
-        jax.block_until_ready(self._run(key, cond))
+        keys = jax.random.split(jax.random.PRNGKey(0), self.max_members)
+        self._run = compile_lowered(self._jitted.lower(keys, cond))
+        jax.block_until_ready(self._run(keys, cond))
         return time.time() - t0
 
     def generate(
@@ -116,33 +147,34 @@ class InferenceEngine:
         seed: int = 0,
         spread_calibration: Optional[float] = None,
     ) -> np.ndarray:
-        """Generate n_members fields for ONE condition dict; back-transformed."""
+        """Generate n_members fields for ONE condition dict; back-transformed.
+
+        Thread-safe: concurrent calls are coalesced into shared fixed-shape
+        dispatches by the engine's batcher. Reproducible per (seed,
+        conditions) regardless of co-batching — every member row carries its
+        own key split from the request seed.
+        """
         if n_members > self.max_members:
             raise ValueError(
                 f"n_members {n_members} exceeds engine capacity {self.max_members}"
             )
-        m = self.max_members
-        # Start from the warmup-shaped zero pytree so the call structure always
-        # matches the AOT-compiled executable; missing keys stay at their
-        # CFG-null zeros instead of changing the pytree (which would fail
-        # against the warmed-up program with an aval mismatch).
-        cond = self._zero_cond()
+        # Start from the zero row so the dispatch pytree always matches the
+        # AOT-compiled executable; missing keys stay at their CFG-null zeros
+        # instead of changing the structure (aval mismatch against the warmed
+        # program otherwise).
+        row = self._zero_row()
         for key in ("y", "cond_img", "lsm_cond", "topo_cond"):
             v = conditions.get(key)
             if v is None:
                 continue
-            v = jnp.asarray(v)
-            if key != "y" and v.ndim == 3:
-                v = v[None]
-            if key == "y" and v.ndim == 0:
-                v = v[None]
-            reps = (m,) + (1,) * (v.ndim - 1)
-            cond[key] = jnp.tile(v[:1], reps)
-        if "y" in cond:
-            cond["y"] = cond["y"].astype(jnp.int32)
-        with self._lock:  # one device, one program at a time
-            out = np.asarray(self._run(jax.random.PRNGKey(seed), cond))[..., 0]
-        out = out[:n_members]
+            v = np.asarray(v, np.int32 if key == "y" else np.float32)
+            if key != "y" and v.ndim == 4:
+                v = v[0]
+            if key == "y" and v.ndim > 0:
+                v = v.reshape(-1)[0]
+            row[key] = v
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), n_members))
+        out = self._batcher.submit(keys, row, n_members)
         alpha = (
             self.cfg.evaluation.spread_calibration
             if spread_calibration is None
@@ -155,6 +187,80 @@ class InferenceEngine:
             out = apply_spread_scale(out, alpha)
         bt = self.back_transforms.get("generated")
         return np.asarray(bt(out)) if bt is not None else out
+
+    def _dispatch(self, tickets: List["_Ticket"]) -> None:
+        """Pack the tickets' member rows into one fixed-shape program call."""
+        m = self.max_members
+        keys = np.zeros((m, 2), np.uint32)
+        cond = {k: np.broadcast_to(v, (m, *v.shape)).copy()
+                for k, v in self._zero_row().items()}
+        i = 0
+        spans = []
+        for t in tickets:
+            keys[i : i + t.n] = t.keys
+            for k, v in t.row.items():
+                cond[k][i : i + t.n] = v
+            spans.append((t, i, i + t.n))
+            i += t.n
+        out = np.asarray(
+            self._run(jnp.asarray(keys), {k: jnp.asarray(v) for k, v in cond.items()})
+        )[..., 0]
+        self.n_dispatches += 1
+        self.n_rows += i
+        for t, lo, hi in spans:
+            t.out = out[lo:hi]
+
+
+class _Ticket:
+    __slots__ = ("keys", "row", "n", "event", "out", "err")
+
+    def __init__(self, keys, row, n):
+        self.keys, self.row, self.n = keys, row, n
+        self.event = threading.Event()
+        self.out = None
+        self.err: Optional[BaseException] = None
+
+
+class _Batcher:
+    """Greedy request coalescer: one dispatcher thread drains the queue into
+    fixed-capacity dispatches. No batching window — while a dispatch is in
+    flight (the dominant cost), arrivals accumulate and ride the next one, so
+    an idle server adds no latency and a loaded server batches maximally."""
+
+    def __init__(self, engine: InferenceEngine):
+        self._engine = engine
+        self._cv = threading.Condition()
+        self._queue: deque = deque()
+        threading.Thread(target=self._loop, daemon=True, name="serve-batcher").start()
+
+    def submit(self, keys, row, n) -> np.ndarray:
+        t = _Ticket(keys, row, n)
+        with self._cv:
+            self._queue.append(t)
+            self._cv.notify()
+        t.event.wait()
+        if t.err is not None:
+            raise t.err
+        return t.out
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                batch, cap = [], self._engine.max_members
+                while self._queue and self._queue[0].n <= cap:
+                    t = self._queue.popleft()
+                    batch.append(t)
+                    cap -= t.n
+            try:
+                self._engine._dispatch(batch)
+            except BaseException as e:  # surfaced on the caller's thread
+                for t in batch:
+                    t.err = e
+            finally:
+                for t in batch:
+                    t.event.set()
 
 
 def make_handler(engine: InferenceEngine):
@@ -177,6 +283,11 @@ def make_handler(engine: InferenceEngine):
                         "platform": jax.default_backend(),
                         "max_members": engine.max_members,
                         "sample_hw": list(engine.hw),
+                        "n_dispatches": engine.n_dispatches,
+                        "n_rows_served": engine.n_rows,
+                        "mean_rows_per_dispatch": round(
+                            engine.n_rows / max(1, engine.n_dispatches), 2
+                        ),
                     },
                 )
             else:

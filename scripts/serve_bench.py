@@ -41,7 +41,54 @@ def _post(url, payload):
     return time.perf_counter() - t0, body
 
 
-def bench_engine(cfg, sampler_type, n_steps, members, n_requests, conditions):
+def bench_concurrent(url, health_url, conditions, n_clients, per_client, n_members=1):
+    """C client threads posting back-to-back requests; the engine's greedy
+    coalescer should pack them into shared dispatches, so p95 must grow far
+    slower than linearly with C (VERDICT r3 item 5)."""
+    lats, errs = [], []
+    lock = threading.Lock()
+
+    def client(cid):
+        for i in range(per_client):
+            cond = conditions[(cid + i) % len(conditions)]
+            try:
+                dt, body = _post(url, {
+                    "conditions": cond, "n_members": n_members,
+                    "seed": 1000 * cid + i,
+                })
+                assert body["shape"][0] == n_members, body.get("error", body)
+                with lock:
+                    lats.append(dt)
+            except Exception as e:  # noqa: BLE001 - record, don't kill thread
+                with lock:
+                    errs.append(str(e))
+
+    with urllib.request.urlopen(health_url) as r:
+        h0 = json.loads(r.read())
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    with urllib.request.urlopen(health_url) as r:
+        h1 = json.loads(r.read())
+    lat = np.asarray(lats)
+    d = max(1, h1["n_dispatches"] - h0["n_dispatches"])
+    return {
+        "clients": n_clients,
+        "requests": len(lats),
+        "errors": len(errs),
+        "p50_s": round(float(np.percentile(lat, 50)), 4),
+        "p95_s": round(float(np.percentile(lat, 95)), 4),
+        "req_per_s": round(len(lats) / wall, 2),
+        "rows_per_dispatch": round((h1["n_rows_served"] - h0["n_rows_served"]) / d, 2),
+    }
+
+
+def bench_engine(cfg, sampler_type, n_steps, members, n_requests, conditions,
+                 concurrency=()):
     from http.server import ThreadingHTTPServer
 
     from sbgm_danra_tpu.serve import InferenceEngine, make_handler
@@ -74,6 +121,11 @@ def bench_engine(cfg, sampler_type, n_steps, members, n_requests, conditions):
             "mean_s": round(float(lat.mean()), 4),
             "n": n_requests,
         }
+    health = f"http://127.0.0.1:{srv.server_port}/healthz"
+    for n_clients in concurrency:
+        out[f"c{n_clients}"] = bench_concurrent(
+            url, health, conditions, n_clients, per_client=n_requests
+        )
     srv.shutdown()
     return out
 
@@ -84,6 +136,8 @@ def main():
     ap.add_argument("--requests", type=int, default=15)
     ap.add_argument("--members", type=int, default=8)
     ap.add_argument("--skip_pc", action="store_true")
+    ap.add_argument("--concurrency", default="4,8",
+                    help="comma list of concurrent client counts ('' = skip)")
     ap.add_argument("--out", default="/tmp/serve_bench.json")
     args = ap.parse_args()
 
@@ -106,9 +160,10 @@ def main():
         })
 
     results = {"image_hw": list(np.asarray(batch["x"]).shape[1:3])}
+    concurrency = tuple(int(c) for c in args.concurrency.split(",") if c)
     results["edm"] = bench_engine(
         cfg, "edm_sampler", cfg.sampler.n_timesteps, args.members,
-        args.requests, conditions,
+        args.requests, conditions, concurrency=concurrency,
     )
     print(json.dumps(results["edm"]))
     if not args.skip_pc:

@@ -145,7 +145,10 @@ class TestServeSpreadCalibration:
         cal = engine.generate(
             _conditions(), n_members=3, seed=11, spread_calibration=0.5
         )
-        np.testing.assert_allclose(cal, apply_spread_scale(raw, 0.5), rtol=1e-5, atol=1e-5)
+        # atol covers fp32 cancellation near zero-crossings: members are
+        # O(1e3) after the affine back-transform, and scale-about-the-mean
+        # only commutes with it exactly in real arithmetic
+        np.testing.assert_allclose(cal, apply_spread_scale(raw, 0.5), rtol=1e-5, atol=1e-3)
         # alpha is a no-op for single members (mean == member)
         one = engine.generate(_conditions(), n_members=1, seed=11,
                               spread_calibration=0.5)
