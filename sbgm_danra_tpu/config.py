@@ -145,6 +145,14 @@ class DataHandlingConfig:
     # HBM once and assemble batches in a compiled program — no host loader in
     # the training loop. Requires resize_factor 1 + LR on the HR grid.
     device_dataset: bool = False
+    # > 0 enables the rotating-window variant (data/windowed_data.py) for the
+    # TRAIN split: archives larger than HBM keep only window_days days
+    # resident (x2: active + staged), refilled by a background host thread.
+    # The valid split stays fully resident.
+    device_window_days: int = 0
+    # Batches trained per window: 0 = swap as soon as the next window is
+    # staged (throughput mode); k > 0 = exactly k (reproducible mode).
+    device_window_steps: int = 0
 
 
 @dataclass

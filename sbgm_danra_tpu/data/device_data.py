@@ -66,15 +66,8 @@ class DeviceStacks:
         )
 
 
-def build_device_stacks(
-    dataset: DanraDataset, dtype: jnp.dtype = jnp.float32
-) -> DeviceStacks:
-    """Load every common date of ``dataset`` full-domain, transform, upload.
-
-    The heavy lifting reuses the host dataset's store/date/transform machinery
-    so the two paths cannot drift; only the crop/SDF/dropout stages move into
-    the compiled sampler.
-    """
+def check_device_compatible(dataset: DanraDataset) -> Tuple[int, int]:
+    """Validate the device-resident restrictions; returns the full domain HW."""
     if dataset.resize_factor != 1:
         raise ValueError("device dataset requires resize_factor == 1")
     if dataset.lr_data_size is not None and dataset.lr_cutout_domains is not None:
@@ -96,9 +89,18 @@ def build_device_stacks(
             f"equals the full domain {full_hw}; use the host loader for "
             "whole-domain-resize sampling"
         )
-    dates = tuple(dataset.common_dates)
-    d = len(dates)
+    return full_hw
 
+
+def load_days(
+    dataset: DanraDataset, dates: Sequence[str]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-load the given dates full-domain, transformed: (hr, lr, classes).
+
+    Reuses the host dataset's store/date/transform machinery so the two paths
+    cannot drift; the windowed loader calls this per refill."""
+    full_hw = tuple(dataset.lsm_full_domain.shape)
+    d = len(dates)
     hr_np = np.empty((d, *full_hw), np.float32)
     lr_names = tuple(sorted(c.name for c in dataset.lr_conditions))
     by_name = {c.name: c for c in dataset.lr_conditions}
@@ -126,11 +128,28 @@ def build_device_stacks(
         )
     else:
         classes = np.zeros((d,), np.int32)
+    return hr_np, lr_np, classes
 
+
+def load_static_geo(dataset: DanraDataset) -> Tuple[np.ndarray, np.ndarray]:
+    """Binary lsm + scaled topo over the full domain (host arrays)."""
     lsm = (np.asarray(dataset.lsm_full_domain, np.float32) > 0.5).astype(np.float32)
     topo = np.asarray(dataset.topo_full_domain, np.float32)
     if dataset._topo_scale is not None:
         topo = np.asarray(dataset._topo_scale(topo), np.float32)
+    return lsm, topo
+
+
+def build_device_stacks(
+    dataset: DanraDataset, dtype: jnp.dtype = jnp.float32
+) -> DeviceStacks:
+    """Load every common date of ``dataset`` full-domain, transform, upload."""
+    full_hw = check_device_compatible(dataset)
+    dates = tuple(dataset.common_dates)
+    d = len(dates)
+    hr_np, lr_np, classes = load_days(dataset, dates)
+    lr_names = tuple(sorted(c.name for c in dataset.lr_conditions))
+    lsm, topo = load_static_geo(dataset)
 
     stacks = DeviceStacks(
         hr=jax.device_put(jnp.asarray(hr_np, dtype)),
@@ -244,6 +263,9 @@ def make_batch_sampler(
             key, stacks.hr, stacks.lr, stacks.lsm, stacks.topo, stacks.classifier
         )
 
+    # The windowed (>HBM) loader re-invokes the SAME compiled program against
+    # rotating same-shaped window buffers — expose the raw jitted sampler.
+    call.raw = jitted
     return call
 
 

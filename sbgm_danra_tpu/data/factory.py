@@ -180,13 +180,28 @@ def make_loaders(cfg: Config) -> Tuple[DataLoader, DataLoader, DataLoader]:
     if cfg.data_handling.device_dataset:
         from sbgm_danra_tpu.data.device_data import DeviceDataLoader
 
-        train = DeviceDataLoader(
-            make_dataset(cfg, "train"),
-            batch_size=cfg.training.batch_size,
-            steps_per_epoch=cfg.training.steps_per_epoch,
-            seed=cfg.training.seed,
-            cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
-        )
+        if cfg.data_handling.device_window_days > 0:
+            # >HBM archive: rotating-window residency for the train split
+            # (data/windowed_data.py); valid below stays fully resident.
+            from sbgm_danra_tpu.data.windowed_data import WindowedDeviceLoader
+
+            train = WindowedDeviceLoader(
+                make_dataset(cfg, "train"),
+                batch_size=cfg.training.batch_size,
+                window_days=cfg.data_handling.device_window_days,
+                steps_per_epoch=cfg.training.steps_per_epoch,
+                window_steps=cfg.data_handling.device_window_steps,
+                seed=cfg.training.seed,
+                cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
+            )
+        else:
+            train = DeviceDataLoader(
+                make_dataset(cfg, "train"),
+                batch_size=cfg.training.batch_size,
+                steps_per_epoch=cfg.training.steps_per_epoch,
+                seed=cfg.training.seed,
+                cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
+            )
         valid = DeviceDataLoader(
             make_dataset(cfg, "valid"),
             batch_size=cfg.training.batch_size,

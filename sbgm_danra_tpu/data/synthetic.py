@@ -21,10 +21,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from sbgm_danra_tpu import transforms as T
 from sbgm_danra_tpu.data import zarrlite
@@ -199,11 +202,13 @@ def generate(spec: SyntheticSpec) -> Dict[str, str]:
     all_days: Dict[str, Dict[str, List[np.ndarray]]] = {
         model: {v: [] for v in spec.variables} for model in ("DANRA", "ERA5")
     }
-    for date in dates:
+    for di, date in enumerate(dates):
         day = daily_fields(rng, date, spec.full_domain, topo, spec.variables)
         for model in all_days:
             for var in spec.variables:
                 all_days[model][var].append(day[model][var])
+        if (di + 1) % 512 == 0:
+            logger.info("synthetic: %d/%d days generated", di + 1, spec.n_days)
 
     written = {}
     for model in ("DANRA", "ERA5"):
