@@ -11,18 +11,40 @@ numbers (BASELINE.md), so vs_baseline is measured against the driver's stated
 north-star: a 100-member conditional ensemble at 128x128 in <= 60 s on a v5e-8
 (~13 members/chip, 1000 PC+CFG steps). vs_baseline = 60 s / projected time —
 values > 1 beat the target.
+
+Robustness contract (VERDICT r3 item 1 — the r3 artifact of record was rc=124
+with an EMPTY tail because all four phases compiled cold before the single
+print):
+  1. The compile cache lives IN THE REPO (``.jax_cache/``, committed) — the
+     repo tree survives host rotation between the builder/judge/driver
+     invocations; ``/tmp`` demonstrably does not (r3 postmortem).
+  2. The headline PC-13 phase runs FIRST; every later phase is skipped once
+     the wall-clock budget (env ``SBGM_BENCH_BUDGET_S``, default 780 s,
+     0 = unlimited) is more than half spent, and the JSON line is printed
+     with nulls for skipped fields rather than not at all.
+  3. A watchdog thread emits the partial JSON line and exits 0 if the budget
+     elapses while the main thread is blocked inside a compile (signal
+     handlers cannot run mid-C-call; a thread can).
+  4. Progress lines go to stderr before/after every compile and measurement,
+     so even a killed run leaves a diagnosable tail.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
-# Persistent compilation cache: the first bench compile of the 128x128 scan
-# takes tens of minutes over the remote-compile path; subsequent runs are
-# seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Persistent compilation cache: the first compile of a changed 128x128 scan
+# over the remote path takes ~8-25 min; cache hits are seconds. Repo-local so
+# it survives host rotation (see module docstring, point 1).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+)
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +52,77 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Without this the committed cache is useless: jax hashes the axon server's
+# BUILD STRING into every key, and the server rotates between invocations
+# (r3 postmortem — the judge's same-disk entries all missed). See
+# utils/jax_env.py for the full rationale + safety argument.
+from sbgm_danra_tpu.utils.jax_env import stabilize_tpu_cache_key
+
+stabilize_tpu_cache_key()
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("SBGM_BENCH_BUDGET_S", "780"))
+
+# Result fields, updated in place as phases complete; _emit() prints whatever
+# is here exactly once (main thread at the end, watchdog on budget expiry,
+# signal handler on SIGTERM between phases — whoever gets there first).
+_RESULT: dict = {
+    "metric": "pc_sampler_steps_per_sec_per_chip_128px_cfg",
+    "value": None,
+    "unit": "steps/s",
+    "vs_baseline": None,
+    "baseline_definition": (
+        "60s / projected 100-member-ensemble time on 8 chips (>1 beats target)"
+    ),
+    "projected_100member_ensemble_s_v5e8": None,
+    "measured_100member_ensemble_s_single_chip": None,
+    "projected_100member_ensemble_edm35_s_v5e8": None,
+    "member_steps_per_sec_batch100": None,
+    "train_samples_per_sec_per_chip_128px": None,
+    "sampler_mxu_utilization_vs_v5e_peak": None,
+    "sampler_mxu_utilization_batch100": None,
+    "platform": None,
+    "device": None,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(reason: str) -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    _log(f"emitting result ({reason})")
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _remaining() -> float:
+    if _BUDGET_S <= 0:
+        return float("inf")
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _watchdog() -> None:
+    """Emit the partial result and exit 0 when the budget expires while the
+    main thread is stuck in a compile (rc=0 + partial JSON beats the r3
+    rc=124 + empty tail)."""
+    if _BUDGET_S <= 0:
+        return
+    while True:
+        left = _remaining()
+        if left <= 0:
+            _log("WATCHDOG: budget exhausted mid-phase — emitting partial result")
+            _emit("watchdog")
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
 
 def _compile(lowered):
     # measured TPU compile options (+10.5% sampler; DESIGN.md 4a)
@@ -73,16 +166,41 @@ def _cond(b: int, size: int, n_lr: int = 2):
     }
 
 
+def _init_variables(model, size: int, n_lr: int):
+    """model.init, disk-cached: eager init costs ~5 min of remote dispatches
+    per call (the hidden setup tax behind the r3 timeout); the msgpack
+    round-trip is bit-exact, so cached runs see identical weights — and
+    identical compiled-program constants — as the run that wrote the file."""
+    import flax.serialization as fser
+
+    path = os.path.join(
+        os.environ["JAX_COMPILATION_CACHE_DIR"], f"bench_vars_{size}_{n_lr}.msgpack"
+    )
+    if os.path.exists(path):
+        _log(f"loading init variables from {path}")
+        with open(path, "rb") as f:
+            return jax.device_put(fser.msgpack_restore(f.read()))
+    _log("eager model.init (no cached variables; ~minutes on the tunnel)...")
+    t0 = time.monotonic()
+    cond = _cond(1, size, n_lr)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        x=jnp.zeros((1, size, size, 1)), t=jnp.zeros((1,)), **cond, train=False,
+    )
+    host = jax.tree.map(np.asarray, variables)
+    with open(path, "wb") as f:
+        f.write(fser.msgpack_serialize(host))
+    _log(f"init done in {time.monotonic() - t0:.0f}s; cached to {path}")
+    return variables
+
+
 def _sampling_setup(batch: int, size: int, cfg_scale: float, n_lr: int = 2):
     """Flagship inference setup shared by the sampler benchmarks: bf16-cast
     weights (sampling streams half the parameter bytes per forward; norm
     params stay fp32) + closed-over score_fn + conditioning."""
     model, sde = _flagship(size, n_lr)
     cond = _cond(batch, size, n_lr)
-    init_kwargs = dict(
-        x=jnp.zeros((batch, size, size, 1)), t=jnp.zeros((batch,)), **cond
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, **init_kwargs, train=False)
+    variables = _init_variables(model, size, n_lr)
     variables = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
         variables,
@@ -97,7 +215,10 @@ def _sampling_setup(batch: int, size: int, cfg_scale: float, n_lr: int = 2):
 def _time_compiled(run, n_rep: int = 3) -> float:
     """Compile + warm up, then best-of-n timing (the remote-dispatch path adds
     jitter that averages would fold into the device number)."""
+    _log("compiling (cache hit = seconds, cold = minutes)...")
+    t0 = time.monotonic()
     compiled = _compile(run.lower(jax.random.PRNGKey(0)))
+    _log(f"compiled in {time.monotonic() - t0:.1f}s; warming up")
     compiled(jax.random.PRNGKey(0)).block_until_ready()
     dts = []
     for i in range(n_rep):
@@ -108,7 +229,7 @@ def _time_compiled(run, n_rep: int = 3) -> float:
 
 
 def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0,
-                  n_lr: int = 2):
+                  n_lr: int = 2) -> float:
     """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
     from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
 
@@ -117,16 +238,23 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
     dt = _time_compiled(jax.jit(
         lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
     ))
-    steps_per_sec = steps / dt
+    return steps / dt
 
-    # MXU utilization: XLA's cost analysis counts a scan body ONCE (not x
-    # trip-count), so take the FLOPs of a single guided score evaluation —
-    # CFG runs cond+uncond as one doubled batch — and scale by the 2 evals
-    # per PC step at the measured step rate.
-    util = None
+
+def mxu_utilization(steps_per_sec: float, batch: int = 13, size: int = 128,
+                    cfg_scale: float = 3.0, n_lr: int = 2):
+    """MXU utilization of the PC sampler at the measured step rate.
+
+    XLA's cost analysis counts a scan body ONCE (not x trip-count), so take
+    the FLOPs of a single guided score evaluation — CFG runs cond+uncond as
+    one doubled batch — and scale by the 2 evals per PC step. A separate
+    (budget-gated) compile, run AFTER the headline is already on record.
+    """
+    _, cond, score_fn = _sampling_setup(batch, size, cfg_scale, n_lr)
     try:
         double = {k: jnp.concatenate([v, v], axis=0) for k, v in cond.items()}
         fwd = jax.jit(lambda x, t: score_fn(x, t, **double))
+        _log("compiling cost-analysis forward...")
         cost = _compile(fwd.lower(
             jnp.zeros((2 * batch, size, size, 1)), jnp.zeros((2 * batch,))
         )).cost_analysis()
@@ -135,10 +263,10 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
         flops_fwd = float(cost.get("flops", 0.0))
         if flops_fwd > 0:
             tflops = 2.0 * flops_fwd * steps_per_sec / 1e12
-            util = tflops / 197.0  # v5e bf16 peak ~197 TFLOP/s
-    except Exception:
-        pass
-    return steps_per_sec, util
+            return tflops / 197.0  # v5e bf16 peak ~197 TFLOP/s
+    except Exception as e:
+        _log(f"cost analysis unavailable ({type(e).__name__}: {e})")
+    return None
 
 
 def bench_edm(batch: int = 13, size: int = 128, nodes: int = 35, cfg_scale: float = 3.0):
@@ -168,7 +296,10 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
     )
     cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
     init = {k: v for k, v in full.items() if k != "sdf"}
-    state = create_train_state(cfg, model, init, jax.random.PRNGKey(0))
+    state = create_train_state(
+        cfg, model, init, jax.random.PRNGKey(0),
+        variables=_init_variables(model, size, n_lr),
+    )
     step = make_train_step(model, sde)
 
     # Time `iters` steps as ONE compiled lax.scan: a single dispatch+sync per
@@ -182,7 +313,10 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    _log("compiling train window...")
+    t0 = time.monotonic()
     run = _compile(jax.jit(window, donate_argnums=0).lower(state, keys))
+    _log(f"train window compiled in {time.monotonic() - t0:.1f}s")
     state, losses = run(state, keys)
     jax.block_until_ready(losses)
     best_dt = float("inf")
@@ -194,45 +328,80 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
     return batch / best_dt
 
 
+def _phase_ok(name: str) -> bool:
+    """Run optional phases only while less than half the budget is spent —
+    a later phase's cold compile costs about as much as the headline's, so
+    half-spent is the conservative go/no-go line."""
+    if _BUDGET_S <= 0:
+        return True
+    if time.monotonic() - _T0 > 0.5 * _BUDGET_S:
+        _log(f"skipping phase '{name}' (over half the {_BUDGET_S:.0f}s budget spent)")
+        return False
+    return True
+
+
 def main():
-    platform = jax.default_backend()
-    device = str(jax.devices()[0])
-    steps_per_sec, mxu_util = bench_sampler()
-    # Production-batch variant: batch 100 amortizes weight streaming and the
-    # sublane padding (DESIGN.md section 4a) — +83% member throughput and the
-    # honest MXU number for ensemble serving; a 100-member PC-1000 ensemble
-    # fits ONE chip. Headline stays batch 13 for round-over-round comparison.
-    steps_per_sec_100, mxu_util_100 = bench_sampler(batch=100)
-    train_samples_per_sec = bench_train()
-    edm_batch_s = bench_edm()
-    # north-star projection: 100-member ensemble on v5e-8 = 13 members/chip,
-    # 1000 PC+CFG steps at the measured per-chip rate.
-    projected_ensemble_s = 1000.0 / steps_per_sec
-    vs_baseline = 60.0 / projected_ensemble_s
-    print(
-        json.dumps(
-            {
-                "metric": "pc_sampler_steps_per_sec_per_chip_128px_cfg",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "baseline_definition": "60s / projected 100-member-ensemble time on 8 chips (>1 beats target)",
-                "projected_100member_ensemble_s_v5e8": round(projected_ensemble_s, 1),
-                "measured_100member_ensemble_s_single_chip": round(1000.0 / steps_per_sec_100, 1),
-                "projected_100member_ensemble_edm35_s_v5e8": round(edm_batch_s, 2),
-                "member_steps_per_sec_batch100": round(100 * steps_per_sec_100, 1),
-                "train_samples_per_sec_per_chip_128px": round(train_samples_per_sec, 2),
-                "sampler_mxu_utilization_vs_v5e_peak": round(mxu_util, 3)
-                if mxu_util
-                else None,
-                "sampler_mxu_utilization_batch100": round(mxu_util_100, 3)
-                if mxu_util_100
-                else None,
-                "platform": platform,
-                "device": device,
-            }
-        )
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _RESULT["platform"] = jax.default_backend()
+    _RESULT["device"] = str(jax.devices()[0])
+    _log(
+        f"platform={_RESULT['platform']} device={_RESULT['device']} "
+        f"budget={_BUDGET_S:.0f}s cache={os.environ['JAX_COMPILATION_CACHE_DIR']}"
     )
+
+    try:
+        # ---- headline phase FIRST: PC+CFG steps/s at the contract batch ----
+        _log("phase 1/5: pc_sampler batch=13 (HEADLINE)")
+        steps_per_sec = bench_sampler()
+        projected_ensemble_s = 1000.0 / steps_per_sec
+        _RESULT.update(
+            value=round(steps_per_sec, 3),
+            vs_baseline=round(60.0 / projected_ensemble_s, 3),
+            projected_100member_ensemble_s_v5e8=round(projected_ensemble_s, 1),
+        )
+        _log(f"headline: {steps_per_sec:.1f} steps/s (vs_baseline {_RESULT['vs_baseline']})")
+
+        # ---- optional phases, budget-gated, most- to least-cited ----
+        if _phase_ok("train"):
+            _log("phase 2/5: train samples/s")
+            tps = bench_train()
+            _RESULT["train_samples_per_sec_per_chip_128px"] = round(tps, 2)
+            _log(f"train: {tps:.1f} samples/s")
+
+        if _phase_ok("edm"):
+            _log("phase 3/5: edm_sampler batch=13")
+            edm_s = bench_edm()
+            _RESULT["projected_100member_ensemble_edm35_s_v5e8"] = round(edm_s, 2)
+            _log(f"edm35 batch wall: {edm_s:.2f}s")
+
+        if _phase_ok("pc_batch100"):
+            # Production-batch variant: batch 100 amortizes weight streaming
+            # and sublane padding (DESIGN.md 4a) — +83% member throughput and
+            # the honest MXU number for ensemble serving; a 100-member PC-1000
+            # ensemble fits ONE chip. Headline stays batch 13 for
+            # round-over-round comparison.
+            _log("phase 4/5: pc_sampler batch=100")
+            sps100 = bench_sampler(batch=100)
+            _RESULT.update(
+                measured_100member_ensemble_s_single_chip=round(1000.0 / sps100, 1),
+                member_steps_per_sec_batch100=round(100 * sps100, 1),
+            )
+            _log(f"batch100: {100 * sps100:.0f} member-steps/s")
+            if _phase_ok("mxu_batch100"):
+                mxu100 = mxu_utilization(sps100, batch=100)
+                _RESULT["sampler_mxu_utilization_batch100"] = (
+                    round(mxu100, 3) if mxu100 else None
+                )
+
+        if _phase_ok("mxu_batch13"):
+            _log("phase 5/5: MXU utilization (cost-analysis forward)")
+            mxu = mxu_utilization(steps_per_sec, batch=13)
+            _RESULT["sampler_mxu_utilization_vs_v5e_peak"] = (
+                round(mxu, 3) if mxu else None
+            )
+    finally:
+        # Even an exception mid-phase leaves the completed fields on record.
+        _emit("main")
 
 
 if __name__ == "__main__":

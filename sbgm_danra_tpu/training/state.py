@@ -142,13 +142,21 @@ def create_train_state(
     model,
     sample_batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    variables: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
-    """Initialize model variables + optimizer into a TrainState."""
+    """Initialize model variables + optimizer into a TrainState.
+
+    ``variables`` short-circuits model.init with pre-built variables (e.g.
+    bench.py's disk-cached init — eager init over the remote tunnel costs
+    minutes); everything else (xavier re-init, optimizer, EMA copies) is
+    unchanged.
+    """
     init_rng, xavier_rng = jax.random.split(rng)
     sample_batch = dict(sample_batch)
     if "t" not in sample_batch:
         sample_batch["t"] = jnp.zeros((sample_batch["x"].shape[0],), jnp.float32)
-    variables = model.init({"params": init_rng}, **sample_batch, train=False)
+    if variables is None:
+        variables = model.init({"params": init_rng}, **sample_batch, train=False)
     params = variables["params"]
     if cfg.training.weight_init:
         params = xavier_init_convs(params, xavier_rng)
