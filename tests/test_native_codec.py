@@ -7,6 +7,12 @@ import pytest
 
 from sbgm_danra_tpu.data import native_codec, zarrlite
 
+# The default policy disables the codec on <=2-core hosts (BASELINE-measured
+# faster Python path); these tests exercise the codec itself, so force it and
+# re-probe regardless of what earlier tests cached.
+os.environ["SBGM_ZARR_CODEC_FORCE"] = "1"
+native_codec._lib, native_codec._checked = None, False
+
 pytestmark = pytest.mark.skipif(
     not native_codec.available(), reason="native codec not built (make -C native)"
 )
