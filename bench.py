@@ -155,77 +155,121 @@ def _flagship(size: int = 128, n_lr: int = 2):
 
 
 def _cond(b: int, size: int, n_lr: int = 2):
-    rng = np.random.default_rng(0)
-    return {
-        "y": jnp.asarray(rng.integers(1, 5, size=(b,)).astype(np.int32)),
-        "cond_img": jnp.asarray(rng.normal(size=(b, size, size, n_lr)).astype(np.float32)),
-        "lsm_cond": jnp.asarray(
-            (rng.random((b, size, size, 2)) > 0.5).astype(np.float32)
-        ),
-        "topo_cond": jnp.asarray(rng.normal(size=(b, size, size, 2)).astype(np.float32)),
-    }
+    """Random conditioning, computed ON the device (a jitted program): host
+    arrays would be re-shipped through the remote tunnel (~0.3 MB/s measured)
+    at first use — 40 MB of batch-100 conditions is minutes of wall."""
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "y": jax.random.randint(k1, (b,), 1, 5, jnp.int32),
+            "cond_img": jax.random.normal(k2, (b, size, size, n_lr), jnp.float32),
+            "lsm_cond": (
+                jax.random.uniform(k3, (b, size, size, 2)) > 0.5
+            ).astype(jnp.float32),
+            "topo_cond": jax.random.normal(k4, (b, size, size, 2), jnp.float32),
+        }
+
+    return _force(make(jax.random.PRNGKey(0)))
+
+
+def _force(tree):
+    """Ensure a pytree's producing computation has actually EXECUTED by
+    fetching its smallest leaf (block_until_ready is a no-op on this remote
+    platform, and an AOT executable consuming still-pending buffers from a
+    jitted producer was observed to stall indefinitely)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        np.asarray(min(leaves, key=lambda a: a.size))
+    return tree
 
 
 def _init_variables(model, size: int, n_lr: int):
-    """model.init, disk-cached: eager init costs ~5 min of remote dispatches
-    per call (the hidden setup tax behind the r3 timeout); the msgpack
-    round-trip is bit-exact, so cached runs see identical weights — and
-    identical compiled-program constants — as the run that wrote the file."""
-    import flax.serialization as fser
+    """model.init as ONE jitted program: weights are born on the device and
+    stay there (dispatch args are buffer handles).
 
-    path = os.path.join(
-        os.environ["JAX_COMPILATION_CACHE_DIR"], f"bench_vars_{size}_{n_lr}.msgpack"
-    )
-    if os.path.exists(path):
-        _log(f"loading init variables from {path}")
-        with open(path, "rb") as f:
-            return jax.device_put(fser.msgpack_restore(f.read()))
-    _log("eager model.init (no cached variables; ~minutes on the tunnel)...")
+    The two alternatives both lose by minutes on the remote tunnel: eager
+    init is ~5 min of per-op dispatches, and host-loaded weights are a one
+    -time ~270 s bulk upload at first use (measured ~0.3 MB/s). A jitted
+    init is a small, persistently-cacheable program that runs in seconds.
+    """
+    _log("jitted model.init...")
     t0 = time.monotonic()
     cond = _cond(1, size, n_lr)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        x=jnp.zeros((1, size, size, 1)), t=jnp.zeros((1,)), **cond, train=False,
-    )
-    host = jax.tree.map(np.asarray, variables)
-    with open(path, "wb") as f:
-        f.write(fser.msgpack_serialize(host))
-    _log(f"init done in {time.monotonic() - t0:.0f}s; cached to {path}")
+
+    @jax.jit
+    def init(key, c):
+        return model.init(
+            {"params": key},
+            x=jnp.zeros((1, size, size, 1)), t=jnp.zeros((1,)), **c, train=False,
+        )
+
+    variables = _force(init(jax.random.PRNGKey(0), cond))
+    _log(f"init done in {time.monotonic() - t0:.0f}s")
     return variables
 
 
 def _sampling_setup(batch: int, size: int, cfg_scale: float, n_lr: int = 2):
     """Flagship inference setup shared by the sampler benchmarks: bf16-cast
     weights (sampling streams half the parameter bytes per forward; norm
-    params stay fp32) + closed-over score_fn + conditioning."""
+    params stay fp32) + model + conditioning.
+
+    The weights are returned separately and passed to the jitted programs as
+    ARGUMENTS, never closed over: a closed-over array is inlined into the
+    lowered module as an MLIR constant, which makes lowering + cache-key
+    hashing minutes long and every cache entry ~200 MB (the whole parameter
+    set rides inside the serialized executable). As arguments the module is
+    O(metadata) and entries are megabytes — the difference between a warm
+    driver bench finishing in seconds vs minutes per phase.
+    """
     model, sde = _flagship(size, n_lr)
     cond = _cond(batch, size, n_lr)
     variables = _init_variables(model, size, n_lr)
-    variables = jax.tree.map(
+    cast = jax.jit(lambda v: jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
-        variables,
-    )
-
-    def score_fn(x, t, **kw):
-        return model.apply(variables, x, t, **kw, train=False)
-
-    return sde, cond, score_fn
+        v,
+    ))
+    return sde, cond, model, _force(cast(variables))
 
 
-def _time_compiled(run, n_rep: int = 3) -> float:
+def _time_compiled(run, variables, cond, n_rep: int = 3) -> float:
     """Compile + warm up, then best-of-n timing (the remote-dispatch path adds
-    jitter that averages would fold into the device number)."""
+    jitter that averages would fold into the device number). ``run`` takes
+    (rng, variables, cond) — weights/conditions as arguments — and returns a
+    SCALAR: on this remote platform ``block_until_ready`` does not actually
+    block on execution (measured: 2 ms "sync" vs 150+ s true drain), so the
+    only honest sync is fetching a value; a scalar costs 4 bytes of D2H."""
     _log("compiling (cache hit = seconds, cold = minutes)...")
     t0 = time.monotonic()
-    compiled = _compile(run.lower(jax.random.PRNGKey(0)))
+    compiled = _compile(run.lower(jax.random.PRNGKey(0), variables, cond))
     _log(f"compiled in {time.monotonic() - t0:.1f}s; warming up")
-    compiled(jax.random.PRNGKey(0)).block_until_ready()
-    dts = []
+    warm = float(np.asarray(compiled(jax.random.PRNGKey(0), variables, cond)))
+    if not np.isfinite(warm):
+        raise RuntimeError(f"non-finite sampler output: {warm}")
+    # Dispatches queue in order on the device, so fetching the LAST result
+    # syncs the whole window — one RPC roundtrip amortized over n_rep runs.
+    t0 = time.perf_counter()
+    out = None
     for i in range(n_rep):
-        t0 = time.perf_counter()
-        compiled(jax.random.PRNGKey(i)).block_until_ready()
-        dts.append(time.perf_counter() - t0)
-    return min(dts)
+        out = compiled(jax.random.PRNGKey(i), variables, cond)
+    val = float(np.asarray(out))
+    if not np.isfinite(val):
+        raise RuntimeError(f"non-finite sampler output: {val}")
+    return (time.perf_counter() - t0) / n_rep
+
+
+def _sampler_run(sampler, shape, sde, config, model):
+    """(rng, variables, cond) -> scalar mean of the sample batch; big pytrees
+    enter as args, the output stays 4 bytes (see _time_compiled)."""
+
+    def run(rng, variables, cond):
+        def score_fn(x, t, **kw):
+            return model.apply(variables, x, t, **kw, train=False)
+
+        return jnp.mean(sampler(score_fn, rng, shape, sde, config, cond=cond))
+
+    return jax.jit(run)
 
 
 def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: float = 3.0,
@@ -233,12 +277,10 @@ def bench_sampler(batch: int = 13, size: int = 128, steps: int = 30, cfg_scale: 
     """Time `steps` PC+CFG sampler steps; returns steps/sec for this batch."""
     from sbgm_danra_tpu.sampling.samplers import SamplerConfig, pc_sampler
 
-    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale, n_lr)
+    sde, cond, model, variables = _sampling_setup(batch, size, cfg_scale, n_lr)
     config = SamplerConfig(num_steps=steps, guidance_scale=cfg_scale)
-    dt = _time_compiled(jax.jit(
-        lambda rng: pc_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
-    ))
-    return steps / dt
+    run = _sampler_run(pc_sampler, (batch, size, size, 1), sde, config, model)
+    return steps / _time_compiled(run, variables, cond)
 
 
 def mxu_utilization(steps_per_sec: float, batch: int = 13, size: int = 128,
@@ -250,13 +292,16 @@ def mxu_utilization(steps_per_sec: float, batch: int = 13, size: int = 128,
     one doubled batch — and scale by the 2 evals per PC step. A separate
     (budget-gated) compile, run AFTER the headline is already on record.
     """
-    _, cond, score_fn = _sampling_setup(batch, size, cfg_scale, n_lr)
+    _, cond, model, variables = _sampling_setup(batch, size, cfg_scale, n_lr)
     try:
         double = {k: jnp.concatenate([v, v], axis=0) for k, v in cond.items()}
-        fwd = jax.jit(lambda x, t: score_fn(x, t, **double))
+        fwd = jax.jit(
+            lambda x, t, v, c: model.apply(v, x, t, **c, train=False)
+        )
         _log("compiling cost-analysis forward...")
         cost = _compile(fwd.lower(
-            jnp.zeros((2 * batch, size, size, 1)), jnp.zeros((2 * batch,))
+            jnp.zeros((2 * batch, size, size, 1)), jnp.zeros((2 * batch,)),
+            variables, double,
         )).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -273,11 +318,10 @@ def bench_edm(batch: int = 13, size: int = 128, nodes: int = 35, cfg_scale: floa
     """Wall time of one full EDM sample batch (68 NFE vs the PC loop's 2000)."""
     from sbgm_danra_tpu.sampling.samplers import SamplerConfig, edm_sampler
 
-    sde, cond, score_fn = _sampling_setup(batch, size, cfg_scale)
+    sde, cond, model, variables = _sampling_setup(batch, size, cfg_scale)
     config = SamplerConfig(num_steps=nodes, guidance_scale=cfg_scale)
-    return _time_compiled(jax.jit(
-        lambda rng: edm_sampler(score_fn, rng, (batch, size, size, 1), sde, config, cond=cond)
-    ))
+    run = _sampler_run(edm_sampler, (batch, size, size, 1), sde, config, model)
+    return _time_compiled(run, variables, cond)
 
 
 def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2):
@@ -288,12 +332,17 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
 
     model, sde = _flagship(size, n_lr)
     cond = _cond(batch, size, n_lr)
-    rng = np.random.default_rng(1)
-    full = dict(
-        x=jnp.asarray(rng.normal(size=(batch, size, size, 1)).astype(np.float32)),
-        sdf=jnp.asarray(rng.uniform(size=(batch, size, size, 1)).astype(np.float32)),
-        **cond,
-    )
+
+    @jax.jit
+    def make_xsdf(key):
+        kx, ks = jax.random.split(key)
+        return (
+            jax.random.normal(kx, (batch, size, size, 1), jnp.float32),
+            jax.random.uniform(ks, (batch, size, size, 1), jnp.float32),
+        )
+
+    x, sdf = _force(make_xsdf(jax.random.PRNGKey(1)))
+    full = dict(x=x, sdf=sdf, **cond)
     cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
     init = {k: v for k, v in full.items() if k != "sdf"}
     state = create_train_state(
@@ -304,10 +353,12 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
 
     # Time `iters` steps as ONE compiled lax.scan: a single dispatch+sync per
     # window. Eager-chained steps pay the remote-dispatch path per step, which
-    # is where the r1 1280-1813 samples/s jitter came from (STATUS.md).
-    def window(state, keys):
+    # is where the r1 1280-1813 samples/s jitter came from (STATUS.md). The
+    # batch rides as an argument (same closed-over-constants rationale as
+    # _sampling_setup).
+    def window(state, keys, batch_):
         def body(s, key):
-            s, m = step(s, full, key)
+            s, m = step(s, batch_, key)
             return s, m["loss"]
 
         return jax.lax.scan(body, state, keys)
@@ -315,15 +366,18 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
     _log("compiling train window...")
     t0 = time.monotonic()
-    run = _compile(jax.jit(window, donate_argnums=0).lower(state, keys))
+    run = _compile(jax.jit(window, donate_argnums=0).lower(state, keys, full))
     _log(f"train window compiled in {time.monotonic() - t0:.1f}s")
-    state, losses = run(state, keys)
-    jax.block_until_ready(losses)
+    # sync by VALUE (np.asarray of the tiny loss vector) — block_until_ready
+    # does not block on this remote platform, see _time_compiled
+    state, losses = run(state, keys, full)
+    if not np.isfinite(np.asarray(losses)).all():
+        raise RuntimeError("non-finite training losses")
     best_dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        state, losses = run(state, keys)
-        jax.block_until_ready(losses)
+        state, losses = run(state, keys, full)
+        np.asarray(losses)
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     return batch / best_dt
 

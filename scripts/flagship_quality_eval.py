@@ -274,14 +274,18 @@ def main():
             checkpoint_results()
             print(key, "crps:", results[key]["normalized"]["crps"])
 
+    dpmpp_test = None
     if args.dpmpp:
         # learned-score check for the 24-NFE multistep path (exact-score
-        # parity is pinned in BASELINE.md; this measures it with a real model)
-        for wgt in (3.0, 0.0):
+        # parity is pinned in BASELINE.md; this measures it with a real
+        # model): 25 and 35 nodes, w in {0, 3} (VERDICT r3 item 3)
+        for nodes, wgt in ((25, 3.0), (25, 0.0), (35, 3.0)):
             m_, tc, tr = run_sampler(
-                "dpmpp_sampler", 25, None if wgt == 0.0 else wgt, 0.0, seed=5
+                "dpmpp_sampler", nodes, None if wgt == 0.0 else wgt, 0.0, seed=5
             )
-            key = f"dpmpp25_w{int(wgt)}"
+            key = f"dpmpp{nodes}_w{int(wgt)}"
+            if key == "dpmpp25_w3":
+                dpmpp_test = m_
             results[key] = metrics(m_)
             results[key]["compile_s"] = round(tc, 2)
             results[key]["run_s"] = round(tr, 3)
@@ -318,6 +322,23 @@ def main():
             checkpoint_results()
             nrm = results[key]["normalized"]
             print(key, f"alpha={alpha:.3f}", "crps:", nrm["crps"],
+                  "spread/skill:", nrm["spread_skill"])
+
+        if dpmpp_test is not None:
+            # dpmpp's own calibration leg (VERDICT r3 item 3 "+- spread
+            # calibration"): fit on VALID dpmpp-25 ensembles, apply to the
+            # test dpmpp-25 members — the serving-default candidate
+            vm_d, _, tr_d = run_sampler(
+                "dpmpp_sampler", 25, g.guidance_scale, 0.0, seed=6, cond_set=vcond
+            )
+            alpha_d = fit_spread_scale(vm_d, truth_val, rule="crps")
+            key = "dpmpp25_w3_cal_crps"
+            results[key] = metrics(apply_spread_scale(dpmpp_test, alpha_d))
+            results[key]["alpha"] = round(alpha_d, 4)
+            results[key]["val_run_s"] = round(tr_d, 3)
+            checkpoint_results()
+            nrm = results[key]["normalized"]
+            print(key, f"alpha={alpha_d:.3f}", "crps:", nrm["crps"],
                   "spread/skill:", nrm["spread_skill"])
 
     if not args.skip_pc:
