@@ -271,4 +271,13 @@ class WindowedDeviceLoader:
                         not has_next or self._stage_done.is_set()
                     ):
                         break
+                    if has_next and steps >= self.min_window_steps:
+                        # We are only still on this window because the stager
+                        # is not done. Donate GIL time to it: on a 1-core host
+                        # a hot dispatch loop starves the loader thread by
+                        # >60x (measured: 1.8 s solo load does not finish in
+                        # 120 s under an unthrottled loop). The device is not
+                        # idled — the steps already enqueued keep it busy for
+                        # far longer than this wait.
+                        self._stage_done.wait(0.005)
         self.epoch += 1

@@ -33,8 +33,23 @@ import os
 from typing import Dict, List, Mapping, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
+
+
+def _xp(x):
+    """numpy for host arrays/scalars, jnp for device arrays and tracers.
+
+    Transforms run in two worlds: inside jitted programs (sampler epilogue,
+    device input pipeline) and on the HOST inside dataset loading. A bare
+    ``jnp.log`` silently turns every host-side call into a device dispatch —
+    which (a) makes archive loading compete with training for the device
+    queue (the windowed stager starved behind an unbounded dispatch backlog,
+    over_hbm_bench), and (b) ships each field through the remote tunnel.
+    Tracers are ``jax.Array`` instances, so the jit path keeps working.
+    """
+    return jnp if isinstance(x, jnp.ndarray) else np
 
 
 class Transform:
@@ -157,7 +172,7 @@ class LogTransform(Transform):
             raise ValueError(f"Unknown log scale_type: {self.scale_type}")
 
     def __call__(self, x):
-        logx = jnp.log(x + self.eps)
+        logx = _xp(x).log(x + self.eps)
         if self.scale_type == "log_zscore":
             return (logx - self.log_mean) / (self.log_std + _EPS)
         if self.scale_type == "log_01":
@@ -203,8 +218,8 @@ class LogBackTransform(Transform):
         lo, hi = _expanded_log_range(self.log_min, self.log_max, self.buffer_frac / 2.0)
         object.__setattr__(self, "_lo", lo)
         object.__setattr__(self, "_hi", hi)
-        clo = -jnp.inf if self.clamp_log_min is None else float(self.clamp_log_min)
-        chi = jnp.inf if self.clamp_log_max is None else float(self.clamp_log_max)
+        clo = float("-inf") if self.clamp_log_min is None else float(self.clamp_log_min)
+        chi = float("inf") if self.clamp_log_max is None else float(self.clamp_log_max)
         object.__setattr__(self, "_clo", clo)
         object.__setattr__(self, "_chi", chi)
         if self.scale_type == "log_zscore":
@@ -225,8 +240,9 @@ class LogBackTransform(Transform):
             logx = 0.5 * (x + 1.0) * (self._hi - self._lo) + self._lo
         else:  # 'log'
             logx = x
-        logx = jnp.clip(logx, self._clo, self._chi)
-        return jnp.exp(logx)
+        xp = _xp(logx)
+        logx = xp.clip(logx, self._clo, self._chi)
+        return xp.exp(logx)
 
 
 @dataclasses.dataclass(frozen=True)

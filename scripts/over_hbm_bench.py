@@ -66,9 +66,17 @@ def ensure_archive(root: str, days: int) -> None:
     logger.info("archive generated in %.1f min", (time.time() - t0) / 60)
 
 
-def bench_config(root: str, batch: int, window_days: int, window_steps: int):
+def bench_config(root: str, batch: int, window_days: int, window_steps: int,
+                 tiny: bool = False):
     from sbgm_danra_tpu.config import from_dict
 
+    sampler = (
+        {"sampler_type": "edm_sampler", "n_timesteps": 35, "time_embedding": 32,
+         "last_fmap_channels": 64, "num_heads": 1, "block_layers": [1, 1, 1, 1]}
+        if tiny else
+        {"sampler_type": "edm_sampler", "n_timesteps": 35, "time_embedding": 256,
+         "last_fmap_channels": 512, "num_heads": 4, "block_layers": [2, 2, 2, 2]}
+    )
     return from_dict({
         "experiment": {"name": "over_hbm", "config_name": "over_hbm"},
         "paths": {
@@ -90,11 +98,7 @@ def bench_config(root: str, batch: int, window_days: int, window_steps: int):
             "scaling_methods": ["zscore", "log_zscore"],
             "full_domain_dims": list(DOMAIN), "buffer_frac": 0.2,
         },
-        "sampler": {
-            "sampler_type": "edm_sampler", "n_timesteps": 35,
-            "time_embedding": 256, "last_fmap_channels": 512, "num_heads": 4,
-            "block_layers": [2, 2, 2, 2],
-        },
+        "sampler": sampler,
         "data_handling": {
             "device_dataset": True,
             "device_window_days": window_days,
@@ -117,7 +121,7 @@ def measure_loop(loader, state, step_fn, min_steps: int, min_seconds: float,
     it = iter(loader)
     for _ in range(3):
         state, m = step_fn(state, next(it), jax.random.PRNGKey(0))
-    jax.block_until_ready(m["loss"])
+    _drain(m)
     n = 0
     t0 = time.perf_counter()
     rng = jax.random.PRNGKey(1)
@@ -130,9 +134,21 @@ def measure_loop(loader, state, step_fn, min_steps: int, min_seconds: float,
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, b, k)
         n += 1
-    jax.block_until_ready(m["loss"])
+    _drain(m)
     dt = time.perf_counter() - t0
     return state, n * batch / dt, n, dt
+
+
+def _drain(m) -> float:
+    """Sync by VALUE: on the remote platform block_until_ready does not block
+    on execution (measured 2 ms 'sync' vs 150+ s true drain — bench.py); the
+    only honest barrier is fetching a scalar. Dispatches complete in order, so
+    fetching the latest loss drains the whole queue. Also asserts finiteness —
+    a NaN loop measures garbage."""
+    loss = float(np.asarray(m["loss"]))
+    if not np.isfinite(loss):
+        raise RuntimeError(f"non-finite training loss: {loss}")
+    return loss
 
 
 def main():
@@ -144,7 +160,17 @@ def main():
     ap.add_argument("--measure_windows", type=int, default=4,
                     help="measure the windowed leg across >= this many swaps")
     ap.add_argument("--out", default="/tmp/over_hbm_bench.json")
+    ap.add_argument("--min_steps", type=int, default=200,
+                    help="resident-leg minimum timed steps")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model for CPU smokes (throughput numbers are "
+                         "only meaningful with the flagship model on a chip)")
     args = ap.parse_args()
+
+    from sbgm_danra_tpu.utils.jax_env import setup_jax_env, stabilize_tpu_cache_key
+
+    setup_jax_env()
+    stabilize_tpu_cache_key()
 
     ensure_archive(args.root, args.days)
 
@@ -153,12 +179,13 @@ def main():
     from sbgm_danra_tpu.data.device_data import DeviceDataLoader
     from sbgm_danra_tpu.data.factory import make_dataset
     from sbgm_danra_tpu.data.windowed_data import WindowedDeviceLoader
-    from sbgm_danra_tpu.models.unet import build_score_model, model_spec_from_config
+    from sbgm_danra_tpu.models.unet import build_score_model
+    from sbgm_danra_tpu.training.pipeline import model_spec_from_config
     from sbgm_danra_tpu.sde import VESDE
     from sbgm_danra_tpu.training.state import create_train_state
     from sbgm_danra_tpu.training.train_step import make_train_step
 
-    cfg = bench_config(args.root, args.batch, args.window_days, 0)
+    cfg = bench_config(args.root, args.batch, args.window_days, 0, tiny=args.tiny)
     sde = VESDE()
     model = build_score_model(model_spec_from_config(cfg), sde)
     step_fn = jax.jit(
@@ -179,7 +206,7 @@ def main():
             if k in ("x", "y", "cond_img", "lsm_cond", "topo_cond")}
     state = create_train_state(cfg, model, init, jax.random.PRNGKey(0))
     state, ceiling, n_c, dt_c = measure_loop(
-        resident, state, step_fn, min_steps=200, min_seconds=20.0, batch=args.batch
+        resident, state, step_fn, min_steps=args.min_steps, min_seconds=20.0, batch=args.batch
     )
     logger.info("resident ceiling: %.0f samples/s (%d steps / %.1fs)",
                 ceiling, n_c, dt_c)
@@ -218,11 +245,11 @@ def main():
         state, m = step_fn(state, b, k)
         n += 1
         if n % 500 == 0:
-            jax.block_until_ready(m["loss"])
+            _drain(m)
             logger.info("windowed: %d steps, %d swaps, stall %.2fs, %.0f samples/s",
                         n, windowed.n_swaps, windowed.stall_s,
                         n * args.batch / (time.perf_counter() - t0))
-    jax.block_until_ready(m["loss"])
+    _drain(m)
     dt = time.perf_counter() - t0
     windowed_rate = n * args.batch / dt
 
