@@ -205,3 +205,37 @@ class TestCompose:
     def test_compose_inverse_order(self, x):
         c = T.Compose((T.ZScore(2.0, 3.0), T.LinearScale(0.0, 1.0, -5.0, 5.0)))
         np.testing.assert_allclose(c.inverse()(c(x)), x, rtol=1e-5, atol=1e-4)
+
+
+class TestBackendDispatch:
+    """Host arrays must stay on the host (the windowed-stager starvation fix):
+    a numpy input through any transform must come back as numpy WITHOUT
+    dispatching a device computation, while jax inputs / tracers keep the jnp
+    path (jittability is part of the transform contract)."""
+
+    CASES = (
+        T.ZScore(10.0, 5.0),
+        T.LinearScale(0.0, 1.0, -5.0, 5.0),
+        T.LogTransform(scale_type="log_zscore", log_mean=1.0, log_std=0.5,
+                       log_min=0.0, log_max=4.0),
+        T.LogBackTransform(scale_type="log_zscore", log_mean=1.0, log_std=0.5,
+                           log_min=0.0, log_max=4.0,
+                           clamp_log_min=0.0, clamp_log_max=4.0),
+    )
+
+    @pytest.mark.parametrize("t", CASES, ids=lambda t: type(t).__name__)
+    def test_numpy_in_numpy_out(self, t):
+        xh = np.random.default_rng(3).uniform(0.1, 5.0, (8, 8)).astype(np.float32)
+        out = t(xh)
+        assert isinstance(out, np.ndarray) and not isinstance(out, jnp.ndarray)
+        assert np.isfinite(out).all()
+
+    @pytest.mark.parametrize("t", CASES, ids=lambda t: type(t).__name__)
+    def test_jit_path_matches_host(self, t):
+        import jax
+
+        xh = np.random.default_rng(4).uniform(0.1, 5.0, (8, 8)).astype(np.float32)
+        host = t(xh)
+        dev = jax.jit(t)(jnp.asarray(xh))
+        assert isinstance(dev, jnp.ndarray)
+        np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
