@@ -61,7 +61,11 @@ def ens_metrics(members: np.ndarray, truth: np.ndarray, mask=None):
     if mask is not None:
         crps_v = crps_px[:, mask]
         rmse = float(np.sqrt(err2[:, mask].mean()))
-        spread, _ = ensemble_spread_skill(members[:, :, mask], truth[:, mask])
+        # masked selections are flat pixel vectors; ensemble_spread_skill
+        # expects 2-D fields, so give the pooled pixels a singleton width
+        spread, _ = ensemble_spread_skill(
+            members[:, :, mask][..., None], truth[:, mask][..., None]
+        )
     else:
         crps_v = crps_px
         rmse = float(np.sqrt(err2.mean()))

@@ -136,6 +136,8 @@ def main():
     ap.add_argument("--requests", type=int, default=15)
     ap.add_argument("--members", type=int, default=8)
     ap.add_argument("--skip_pc", action="store_true")
+    ap.add_argument("--dpmpp", action="store_true",
+                    help="also bench the 24-NFE dpmpp serving path")
     ap.add_argument("--concurrency", default="4,8",
                     help="comma list of concurrent client counts ('' = skip)")
     ap.add_argument("--out", default="/tmp/serve_bench.json")
@@ -166,6 +168,14 @@ def main():
         args.requests, conditions, concurrency=concurrency,
     )
     print(json.dumps(results["edm"]))
+    if args.dpmpp:
+        # 24-NFE deterministic multistep path — the serving-default candidate
+        # (learned-score quality rows: flagship_quality_eval --dpmpp)
+        results["dpmpp"] = bench_engine(
+            cfg, "dpmpp_sampler", 25, args.members,
+            args.requests, conditions, concurrency=concurrency,
+        )
+        print(json.dumps(results["dpmpp"]))
     if not args.skip_pc:
         results["pc"] = bench_engine(
             cfg, "pc_sampler", 1000, args.members, max(4, args.requests // 3),
