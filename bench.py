@@ -15,9 +15,10 @@ values > 1 beat the target.
 Robustness contract (VERDICT r3 item 1 — the r3 artifact of record was rc=124
 with an EMPTY tail because all four phases compiled cold before the single
 print):
-  1. The compile cache lives IN THE REPO (``.jax_cache/``, committed) — the
-     repo tree survives host rotation between the builder/judge/driver
-     invocations; ``/tmp`` demonstrably does not (r3 postmortem).
+  1. The compile cache lives IN THE REPO (``.jax_cache/``, gitignored but
+     on-disk) — the repo working tree survives host rotation between the
+     builder/judge/driver invocations; ``/tmp`` demonstrably does not
+     (r3 postmortem).
   2. The headline PC-13 phase runs FIRST; every later phase is skipped once
      the wall-clock budget (env ``SBGM_BENCH_BUDGET_S``, default 780 s,
      0 = unlimited) is more than half spent, and the JSON line is printed

@@ -99,15 +99,13 @@ def bench_config(root: str, batch: int, window_days: int, window_steps: int,
             "full_domain_dims": list(DOMAIN), "buffer_frac": 0.2,
         },
         "sampler": sampler,
+        "model": {"compute_dtype": "bfloat16"},
         "data_handling": {
             "device_dataset": True,
             "device_window_days": window_days,
             "device_window_steps": window_steps,
         },
-        "training": {
-            "seed": 0, "batch_size": batch, "learning_rate": 1e-4,
-            "compute_dtype": "bfloat16",
-        },
+        "training": {"seed": 0, "batch_size": batch, "learning_rate": 1e-4},
         "classifier_free_guidance": {"enabled": True, "drop_prob": 0.1},
     })
 
