@@ -185,6 +185,8 @@ def make_loaders(cfg: Config) -> Tuple[DataLoader, DataLoader, DataLoader]:
             # (data/windowed_data.py); valid below stays fully resident.
             from sbgm_danra_tpu.data.windowed_data import WindowedDeviceLoader
 
+            import jax.numpy as jnp
+
             train = WindowedDeviceLoader(
                 make_dataset(cfg, "train"),
                 batch_size=cfg.training.batch_size,
@@ -193,6 +195,7 @@ def make_loaders(cfg: Config) -> Tuple[DataLoader, DataLoader, DataLoader]:
                 window_steps=cfg.data_handling.device_window_steps,
                 seed=cfg.training.seed,
                 cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
+                dtype=jnp.dtype(cfg.data_handling.device_window_dtype),
             )
         else:
             train = DeviceDataLoader(

@@ -60,6 +60,11 @@ from sbgm_danra_tpu.data.device_data import (
 
 logger = logging.getLogger(__name__)
 
+# Staging upload slice size: ~64 MiB pipelines ~2x faster than a monolithic
+# window device_put on the remote-tunnel platform (stage probe, r4) and lets
+# train-step dispatch RPCs interleave between slices.
+_STAGE_CHUNK_BYTES = 64 * 2**20
+
 
 class _Window:
     """One window's device buffers."""
@@ -167,11 +172,39 @@ class WindowedDeviceLoader:
     def _load_window_host(self, block: int):
         return load_days(self.dataset, self._block_dates(block))
 
+    def _put_chunked(self, arr: np.ndarray):
+        """Upload a day-stack in ~64 MiB day-slices, then concatenate on
+        device.
+
+        Measured on the remote-tunnel platform (stage probe, r4): one
+        monolithic device_put of a window moves at ~32 MB/s and holds the
+        transfer path for the whole window (train-step dispatches queue
+        behind it); slicing the same bytes into day-chunks pipelines to
+        ~62 MB/s AND lets step dispatches interleave between chunks. The
+        short sleep is a GIL yield to the dispatch thread on 1-core hosts.
+        Transient device footprint: parts + concatenated result (2x window).
+        """
+        import time
+
+        arr = np.asarray(arr)
+        day_bytes = max(1, int(arr[0].nbytes)) if len(arr) else 1
+        step = max(1, _STAGE_CHUNK_BYTES // day_bytes)
+        parts = []
+        for i in range(0, len(arr), step):
+            chunk = arr[i : i + step]
+            if chunk.dtype != self.dtype:
+                chunk = chunk.astype(self.dtype)  # host cast: upload self.dtype bytes
+            parts.append(jax.device_put(chunk))
+            time.sleep(0.002)
+        if len(parts) == 1:
+            return parts[0]
+        return jnp.concatenate(parts, axis=0)
+
     def _upload(self, host_arrays, block: int) -> _Window:
         hr, lr, classes = host_arrays
         return _Window(
-            hr=jax.device_put(jnp.asarray(hr, self.dtype)),
-            lr=jax.device_put(jnp.asarray(lr, self.dtype)),
+            hr=self._put_chunked(hr),
+            lr=self._put_chunked(lr),
             classifier=jax.device_put(jnp.asarray(classes)),
             block=block,
         )

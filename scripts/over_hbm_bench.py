@@ -163,6 +163,10 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model for CPU smokes (throughput numbers are "
                          "only meaningful with the flagship model on a chip)")
+    ap.add_argument("--stage_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="window staging dtype (bfloat16 halves host upload "
+                         "bytes; see data_handling.device_window_dtype)")
     args = ap.parse_args()
 
     from sbgm_danra_tpu.utils.jax_env import setup_jax_env, stabilize_tpu_cache_key
@@ -213,10 +217,13 @@ def main():
     # --- leg 2: windowed loader over the full >HBM archive -------------------
     logger.info("leg 2: windowed loader over the full archive")
     ds_full = make_dataset(cfg, "train")
+    import jax.numpy as jnp
+
     windowed = WindowedDeviceLoader(
         ds_full, batch_size=args.batch, window_days=args.window_days,
         window_steps=0, seed=0,
         cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
+        dtype=jnp.dtype(args.stage_dtype),
     )
     n_days = len(windowed.dates)
     day_bytes = (
@@ -262,6 +269,7 @@ def main():
         "resident_ceiling_samples_per_s": round(ceiling, 1),
         "windowed_samples_per_s": round(windowed_rate, 1),
         "ratio_vs_ceiling": round(windowed_rate / ceiling, 3),
+        "stage_dtype": args.stage_dtype,
         "n_steps": n,
         "n_swaps": windowed.n_swaps,
         "host_stall_s": round(windowed.stall_s, 2),
