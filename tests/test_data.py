@@ -214,6 +214,23 @@ class TestSynthetic:
         assert stats is not None
         assert stats["min"] >= 0.0 and stats["log_min"] <= stats["log_max"]
 
+    def test_streaming_stats_match_batch_formula(self, synth_root):
+        """generate() streams stats day-by-day (O(1-day) memory); the JSONs
+        must match _compute_stats over the materialized stack."""
+        root, spec, _ = synth_root
+        from sbgm_danra_tpu import transforms as T
+        from sbgm_danra_tpu.data.synthetic import _compute_stats
+        from sbgm_danra_tpu.utils.units import correct_variable_units
+
+        g = zarrlite.open_group(build_data_path(root, "ERA5", "prcp", (48, 64), "all"))
+        stack = np.stack([g[k]["data"][...] for k in g.keys()])
+        expected = _compute_stats(correct_variable_units("prcp", "ERA5", stack))
+        stats = T.load_global_stats(
+            os.path.join(root, "stats"), "ERA5", "prcp", "48x64", "full", "all"
+        )
+        for key, val in expected.items():
+            assert stats[key] == pytest.approx(val, rel=1e-9, abs=1e-12), key
+
     def test_lr_correlates_with_hr(self, synth_root):
         root, spec, _ = synth_root
         hr = zarrlite.open_group(build_data_path(root, "DANRA", "temp", (48, 64), "all"))
