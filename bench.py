@@ -132,6 +132,51 @@ def _compile(lowered):
     return compile_lowered(lowered)
 
 
+def _preflight(deadline_s: float = 60.0) -> None:
+    """Chip-liveness check BEFORE any expensive phase (VERDICT r4 item 1b).
+
+    The r4 artifact was all-null because another process held the TPU through
+    the driver's window (CLAUDE.md: only one process may hold the chip) and
+    the first device op hung silently for 780 s. One tiny jitted op with its
+    own short deadline turns that failure mode into a one-line postmortem.
+    The op runs in a worker thread because a hung device call cannot be
+    interrupted from Python; on timeout the partial JSON is emitted and the
+    process exits 0 (same contract as the watchdog).
+    """
+    done = threading.Event()
+    err: list = []
+
+    def probe():
+        try:
+            val = float(np.asarray(jax.jit(lambda x: x + 1)(jnp.float32(41.0))))
+            if val != 42.0:
+                err.append(f"probe returned {val}")
+        except Exception as e:  # surfaced below
+            err.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
+
+    _log(f"preflight: tiny jitted op (deadline {deadline_s:.0f}s)...")
+    t0 = time.monotonic()
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(deadline_s):
+        _log(
+            "PREFLIGHT FAILED: device unresponsive after "
+            f"{deadline_s:.0f}s — another process may hold the TPU "
+            "(this platform allows one holder; check `ps` for stray "
+            "python runs). Emitting null result."
+        )
+        _RESULT["error"] = "device unresponsive (preflight timeout)"
+        _emit("preflight-timeout")
+        os._exit(0)
+    if err:
+        _log(f"PREFLIGHT FAILED: {err[0]}")
+        _RESULT["error"] = f"preflight: {err[0]}"
+        _emit("preflight-error")
+        os._exit(0)
+    _log(f"preflight ok in {time.monotonic() - t0:.1f}s — device is live")
+
+
 def _flagship(size: int = 128, n_lr: int = 2):
     from sbgm_danra_tpu.models.unet import ModelSpec, build_score_model
     from sbgm_danra_tpu.sde import VESDE
@@ -223,9 +268,16 @@ def _sampling_setup(batch: int, size: int, cfg_scale: float, n_lr: int = 2):
     set rides inside the serialized executable). As arguments the module is
     O(metadata) and entries are megabytes — the difference between a warm
     driver bench finishing in seconds vs minutes per phase.
+
+    Every stage logs before/after (VERDICT r4 item 1c: the r4 tail had a
+    780 s dead zone between "phase 1/5" and the watchdog because nothing
+    before _init_variables logged).
     """
+    _log(f"setup: building flagship model (batch={batch})...")
     model, sde = _flagship(size, n_lr)
+    _log("setup: conditioning batch (jitted on-device RNG)...")
     cond = _cond(batch, size, n_lr)
+    _log("setup: conditioning ready")
     variables = _init_variables(model, size, n_lr)
     cast = jax.jit(lambda v: jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
@@ -331,6 +383,7 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
     from sbgm_danra_tpu.training.state import create_train_state
     from sbgm_danra_tpu.training.train_step import make_train_step
 
+    _log("train setup: building flagship model + conditioning...")
     model, sde = _flagship(size, n_lr)
     cond = _cond(batch, size, n_lr)
 
@@ -344,6 +397,7 @@ def bench_train(batch: int = 16, size: int = 128, iters: int = 10, n_lr: int = 2
 
     x, sdf = _force(make_xsdf(jax.random.PRNGKey(1)))
     full = dict(x=x, sdf=sdf, **cond)
+    _log("train setup: model + conditioning ready; building train state...")
     cfg = from_dict({"training": {"batch_size": batch, "learning_rate": 5e-4}})
     init = {k: v for k, v in full.items() if k != "sdf"}
     state = create_train_state(
@@ -403,6 +457,7 @@ def main():
         f"platform={_RESULT['platform']} device={_RESULT['device']} "
         f"budget={_BUDGET_S:.0f}s cache={os.environ['JAX_COMPILATION_CACHE_DIR']}"
     )
+    _preflight()
 
     try:
         # ---- headline phase FIRST: PC+CFG steps/s at the contract batch ----

@@ -182,6 +182,8 @@ class _StreamStats:
 
     def update(self, x: np.ndarray) -> None:
         x = np.asarray(x, dtype=np.float64)
+        if x.size == 0:
+            return
         lx = np.log(np.maximum(x, 0) + self.log_eps)
         if self.n == 0:
             self._shift = float(x.mean())
@@ -198,6 +200,10 @@ class _StreamStats:
         self.lmx = max(self.lmx, float(lx.max()))
 
     def result(self) -> Dict[str, float]:
+        if self.n == 0:
+            raise ValueError(
+                "no values accumulated (empty crop region or zero days?)"
+            )
         m, lm = self._s / self.n, self._ls / self.n
         var = max(self._ss / self.n - m * m, 0.0)
         lvar = max(self._lss / self.n - lm * lm, 0.0)
@@ -240,6 +246,15 @@ class SyntheticSpec:
 
 def generate(spec: SyntheticSpec) -> Dict[str, str]:
     """Write the synthetic dataset; returns paths of the written artifacts."""
+    if spec.n_days < 1:
+        raise ValueError(f"SyntheticSpec.n_days must be >= 1, got {spec.n_days}")
+    if spec.crop_region is not None:
+        x1, x2, y1, y2 = spec.crop_region
+        if x2 <= x1 or y2 <= y1:
+            raise ValueError(
+                f"SyntheticSpec.crop_region {spec.crop_region} has zero area "
+                "(expected x1 < x2 and y1 < y2, rows-first)"
+            )
     rng = np.random.default_rng(spec.seed)
     h, w = spec.full_domain
     size = f"{h}x{w}"

@@ -46,9 +46,13 @@ def main() -> None:
     cfg.data_handling.device_dataset = False
     train_loader, _, _ = make_loaders(cfg)
     pipeline = TrainingPipeline(cfg, train_loader, None, mesh=None)
-    pipeline.save(val_loss=float("inf"))
+    # Large FINITE sentinel, not inf: json.dump would emit the non-standard
+    # 'Infinity' token into the checkpoint meta/metrics files (ADVICE r4).
+    # Any finite value keeps best_step() returning this lone checkpoint.
+    pipeline.save(val_loss=1e30)
     pipeline.checkpoints.wait()
     step = pipeline.checkpoints.best_step()
+    pipeline.checkpoints.close()
     print(f"wrote random-init checkpoint (step {step}) under "
           f"{cfg.paths.checkpoint_dir}")
 
