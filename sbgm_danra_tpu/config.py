@@ -158,6 +158,12 @@ class DataHandlingConfig:
     # ~0.4% of a z-scored field's std — the same precision the forward pass
     # already uses when model.compute_dtype is bfloat16. Default float32.
     device_window_dtype: str = "float32"
+    # Window composition: "consecutive" (contiguous archive days — sequential
+    # host reads, but seasonally correlated windows) or "strided" (each
+    # window spans the whole archive with stride n_windows — the per-step
+    # distribution approximates the reference's global i.i.d. sampling;
+    # same bytes read per window with daily zarr groups).
+    device_window_layout: str = "consecutive"
 
 
 @dataclass
@@ -259,6 +265,13 @@ class TrainingConfig:
     profile_dir: str = ""
     # Rematerialize the forward pass on backward (activation memory ~O(1)).
     remat: bool = False
+    # Fused sample+train scan (training/fused.py): K > 0 runs K optimizer
+    # steps per device dispatch when the train loader is device-resident,
+    # amortizing the ~28 ms/dispatch remote-tunnel tax to ~28/K ms and
+    # freeing the host core for windowed staging. 0 = eager (one dispatch
+    # per step). Requires a device loader; incompatible with
+    # monitor_extremes (batches never materialize on host).
+    fused_steps: int = 0
     # In-graph elastic recovery: skip optimizer updates with non-finite grads.
     skip_nonfinite_updates: bool = False
     # Best-val checkpoint WRITES fire at most every N epochs; a rate-limited

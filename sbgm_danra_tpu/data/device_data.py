@@ -314,6 +314,33 @@ class DeviceDataLoader:
     def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
         return self._sample(key)
 
+    @property
+    def sample_raw(self):
+        """The compiled batch sampler (key, *buffers) -> batch — the fused
+        scan (training/fused.py) invokes it inside its scan body."""
+        return self._sample.raw
+
+    def buffers(self) -> Tuple[jax.Array, ...]:
+        """The resident stacks, in sample_raw argument order."""
+        s = self.stacks
+        return (s.hr, s.lr, s.lsm, s.topo, s.classifier)
+
+    def iter_chunks(self, chunk_steps: int, n_chunks: Optional[int] = None):
+        """Chunked consumption for the fused scan (see
+        windowed_data.WindowedDeviceLoader.iter_chunks): yields ``(buffers,
+        batch_keys[chunk_steps])``; the batch-key stream matches ``__iter__``
+        step for step, so a fused epoch draws the identical batch sequence."""
+        from sbgm_danra_tpu.training.fused import chunk_keys
+
+        if chunk_steps <= 0:
+            raise ValueError("chunk_steps must be positive")
+        base = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch)
+        if n_chunks is None:
+            n_chunks = max(1, len(self) // chunk_steps)
+        for c in range(n_chunks):
+            yield self.buffers(), chunk_keys(base, c * chunk_steps, chunk_steps)
+        self.epoch += 1
+
     def __len__(self) -> int:
         if self.steps_per_epoch:
             return self.steps_per_epoch

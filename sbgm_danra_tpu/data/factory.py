@@ -196,6 +196,7 @@ def make_loaders(cfg: Config) -> Tuple[DataLoader, DataLoader, DataLoader]:
                 seed=cfg.training.seed,
                 cfg_dropout_prob=cfg.classifier_free_guidance.drop_prob,
                 dtype=jnp.dtype(cfg.data_handling.device_window_dtype),
+                layout=cfg.data_handling.device_window_layout,
             )
         else:
             train = DeviceDataLoader(

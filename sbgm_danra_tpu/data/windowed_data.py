@@ -98,6 +98,7 @@ class WindowedDeviceLoader:
         cfg_dropout_prob: float = 0.0,
         with_sdf: Optional[bool] = None,
         dtype: jnp.dtype = jnp.float32,
+        layout: str = "consecutive",
     ):
         check_device_compatible(dataset)
         self.dataset = dataset
@@ -105,6 +106,11 @@ class WindowedDeviceLoader:
         self.dates: Tuple[str, ...] = tuple(dataset.common_dates)
         if window_days <= 0:
             raise ValueError("window_days must be positive")
+        if layout not in ("consecutive", "strided"):
+            raise ValueError(
+                f"layout must be 'consecutive' or 'strided', got {layout!r}"
+            )
+        self.layout = layout
         self.window_days = min(window_days, len(self.dates))
         self.n_windows = max(1, -(-len(self.dates) // self.window_days))
         self.window_steps = int(window_steps)
@@ -163,9 +169,26 @@ class WindowedDeviceLoader:
     # -- window plumbing ----------------------------------------------------
 
     def _block_dates(self, block: int) -> List[str]:
-        """Window ``block``'s dates; the last block wraps around to keep every
-        window exactly window_days long (static shapes, one program)."""
+        """Window ``block``'s dates; wrap-around keeps every window exactly
+        window_days long (static shapes, one program).
+
+        Layouts:
+        - ``consecutive``: block b = days [b*W, (b+1)*W) — contiguous archive
+          reads, but a window is seasonally correlated by construction (the
+          shuffle-buffer caveat in the module docstring).
+        - ``strided``: block b = days {b, b + n_windows, b + 2*n_windows, ...}
+          — every window spans the whole archive uniformly, so the per-step
+          distribution approximates the reference's global i.i.d. sampling
+          (/root/reference/sbgm/data_modules.py:747-763) at the cost of
+          random-access host reads (same bytes; daily zarr groups make the
+          read pattern cost-equivalent here).
+        """
         n = len(self.dates)
+        if self.layout == "strided":
+            return [
+                self.dates[(block + i * self.n_windows) % n]
+                for i in range(self.window_days)
+            ]
         start = block * self.window_days
         return [self.dates[(start + i) % n] for i in range(self.window_days)]
 
@@ -250,6 +273,78 @@ class WindowedDeviceLoader:
     def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
         c = self._current
         return self._sample_raw(key, c.hr, c.lr, self._lsm, self._topo, c.classifier)
+
+    @property
+    def sample_raw(self):
+        """The compiled batch sampler (key, *buffers) -> batch — the fused
+        scan (training/fused.py) invokes it inside its scan body."""
+        return self._sample_raw
+
+    def buffers(self) -> Tuple[jax.Array, ...]:
+        """The current window's device buffers, in sample_raw argument order."""
+        c = self._current
+        return (c.hr, c.lr, self._lsm, self._topo, c.classifier)
+
+    def iter_chunks(
+        self, chunk_steps: int, n_chunks: Optional[int] = None
+    ) -> Iterator[Tuple[Tuple[jax.Array, ...], jax.Array]]:
+        """Chunked consumption for the fused scan: yields ``(buffers,
+        batch_keys[chunk_steps])`` per chunk of ``chunk_steps`` train steps,
+        with the same window schedule / swap pacing as ``__iter__`` and the
+        same fold_in(epoch_base, global_step) batch-key stream (a fused epoch
+        draws the identical batch sequence as an eager one).
+
+        Swap pacing translates step-wise rules to chunk granularity:
+        swap-on-ready swaps when the stager is done and >= max(1,
+        min_window_steps // chunk_steps) chunks ran on this window; fixed
+        mode runs ceil(window_steps / chunk_steps) chunks per window.
+
+        Backpressure is the CONSUMER's: each fused dispatch is async, so the
+        caller must drain (fetch the chunk's losses) at least every few
+        chunks or the host races ahead of the device and the swap schedule
+        runs on host time. The training pipeline and over_hbm_bench both
+        fetch the loss trace per chunk.
+        """
+        from sbgm_danra_tpu.training.fused import chunk_keys
+
+        if chunk_steps <= 0:
+            raise ValueError("chunk_steps must be positive")
+        base = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch)
+        if n_chunks is None and self.steps_per_epoch:
+            n_chunks = -(-self.steps_per_epoch // chunk_steps)
+        emitted = 0
+        chunks_done = 0
+        min_chunks = max(1, self.min_window_steps // chunk_steps)
+        fixed_chunks = (
+            -(-self.window_steps // chunk_steps) if self.window_steps > 0 else 0
+        )
+        schedule = self._schedule(self.epoch)
+        for wi, block in enumerate(schedule):
+            if n_chunks is not None and chunks_done >= n_chunks:
+                break
+            if self._current.block != block:
+                self._current = self._take_staged()
+                self.n_swaps += 1
+                assert self._current.block == block
+            has_next = wi + 1 < len(schedule)
+            if has_next:
+                self._stage_async(schedule[wi + 1])
+            w_chunks = 0
+            while True:
+                yield self.buffers(), chunk_keys(base, emitted, chunk_steps)
+                emitted += chunk_steps
+                w_chunks += 1
+                chunks_done += 1
+                if n_chunks is not None and chunks_done >= n_chunks:
+                    break
+                if fixed_chunks:
+                    if w_chunks >= fixed_chunks:
+                        break
+                elif w_chunks >= min_chunks and (
+                    not has_next or self._stage_done.is_set()
+                ):
+                    break
+        self.epoch += 1
 
     def _schedule(self, epoch: int) -> List[int]:
         order = np.random.default_rng((self.seed, epoch)).permutation(self.n_windows)

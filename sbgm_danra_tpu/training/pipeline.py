@@ -138,6 +138,42 @@ class TrainingPipeline:
                 )
             )
 
+        # Fused sample+train scan (training/fused.py): K steps per dispatch,
+        # amortizing the remote-tunnel dispatch tax and freeing the host core
+        # for windowed staging. Requires a device-resident loader (the
+        # sampler must be invocable inside the scan body).
+        self._fused_step = None
+        self._fused_k = 1
+        if cfg.training.fused_steps > 0:
+            if not hasattr(train_loader, "sample_raw"):
+                raise ValueError(
+                    "training.fused_steps requires a device-resident train "
+                    "loader (data_handling.device_dataset: true)"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "training.fused_steps is a single-device path; mesh "
+                    "training already amortizes dispatch via parallel steps"
+                )
+            if cfg.training.monitor_extremes:
+                logger.warning(
+                    "fused_steps > 0: extreme-value monitoring is skipped "
+                    "(batches never materialize on host)"
+                )
+            from sbgm_danra_tpu.training.fused import make_fused_train_step
+
+            self._fused_k = cfg.training.fused_steps
+            self._fused_step = make_fused_train_step(
+                self.model,
+                self.sde,
+                train_loader.sample_raw,
+                t_eps=cfg.sampler.t_eps,
+                use_sdf_weights=cfg.training.sdf_weighted_loss,
+                remat=cfg.training.remat,
+                skip_nonfinite_updates=cfg.training.skip_nonfinite_updates,
+                track_finite=cfg.training.detect_anomaly,
+            )
+
         self.scheduler = make_scheduler(cfg)
         es = cfg.training.early_stopping_params
         self.early_stopping = (
@@ -190,17 +226,55 @@ class TrainingPipeline:
         with trace(profile_dir):
             self._run_train_batches(max_steps, losses, timer, monitor_every)
         if timer.steps_per_sec > 0:
+            # fused mode ticks once per K-step chunk; scale back to steps
             logger.info(
                 "epoch %d throughput: %.2f steps/s (%.1f samples/s)",
-                self.epoch, timer.steps_per_sec,
-                timer.items_per_sec(cfg.training.batch_size),
+                self.epoch, timer.steps_per_sec * self._fused_k,
+                timer.items_per_sec(cfg.training.batch_size * self._fused_k),
             )
         if not losses:
             return float("nan")
         return float(jnp.mean(jnp.stack(losses)))
 
+    def _run_train_fused(self, max_steps, losses, timer) -> None:
+        """K steps per dispatch via iter_chunks + the fused scan. The chunk's
+        loss trace is fetched per chunk — the host-side drain that throttles
+        emission to device speed (iter_chunks backpressure contract) and
+        feeds the same per-step loss history as the eager path."""
+        cfg = self.cfg
+        k = self._fused_k
+        n_chunks = -(-max_steps // k) if max_steps else None
+        for ci, (buffers, batch_keys) in enumerate(
+            self.train_loader.iter_chunks(k, n_chunks)
+        ):
+            timer.tick()
+            # step keys by sequential split — the exact eager-loop stream
+            sks = []
+            for _ in range(k):
+                self.rng, sk = jax.random.split(self.rng)
+                sks.append(sk)
+            if ci == 0 and self.epoch == 0:
+                logger.info("first fused chunk (compiles %d-step scan)...", k)
+            self.state, traces = self._fused_step(
+                self.state, batch_keys, jnp.stack(sks), *buffers
+            )
+            trace = np.asarray(traces["loss"])  # fetch-by-value: drains
+            if ci == 0 and self.epoch == 0:
+                logger.info("first fused chunk done (loss %.4f)", trace[-1])
+            if cfg.training.detect_anomaly and "finite" in traces:
+                finite = np.asarray(traces["finite"])
+                if not finite.all():
+                    raise FloatingPointError(
+                        f"Non-finite loss/gradients in fused chunk {ci} "
+                        f"(step offsets {np.flatnonzero(~finite).tolist()})"
+                    )
+            losses.extend(np.float32(v) for v in trace)
+
     def _run_train_batches(self, max_steps, losses, timer, monitor_every) -> None:
         cfg = self.cfg
+        if self._fused_step is not None:
+            self._run_train_fused(max_steps, losses, timer)
+            return
         for i, batch in enumerate(self._batches(self.train_loader)):
             if max_steps is not None and i >= max_steps:
                 break
