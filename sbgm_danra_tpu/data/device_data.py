@@ -167,28 +167,25 @@ def build_device_stacks(
     return stacks
 
 
-def make_batch_sampler(
-    stacks: DeviceStacks,
+def make_sample_fn(
+    n_days: int,
+    full_hw: Tuple[int, int],
+    n_lr: int,
     crop_hw: Tuple[int, int],
     cutout_domains: Optional[Sequence[int]],
     batch_size: int,
     cfg_dropout_prob: float = 0.0,
     with_sdf: bool = True,
 ):
-    """Compiled ``key -> batch`` drawing random days + crops from the stacks.
+    """The pure (unjitted) batch-sampler function with explicit dimensions:
+    ``(key, hr, lr, lsm_full, topo_full, classifier) -> batch``.
 
-    Returns batches in the score-model kwargs contract ({x, cond_img,
-    lsm_cond, topo_cond, y, sdf, lsm_hr} — data/loader.py extract_batch's
-    output), entirely on device.
-
-    The stacks enter the jitted program as ARGUMENTS, never as closure
-    captures: a closed-over jax.Array is lowered as an inline MLIR constant,
-    which (a) copies the whole split device->host at trace time — tens of
-    minutes for a 1.4 GiB stack over a remote-platform tunnel — and (b) ships
-    it back inside the compile request. Passing them as args keeps lowering
-    O(metadata) and lets XLA alias the resident buffers.
+    Dimensions are explicit (not read from stacks) so the same builder serves
+    both the single-device samplers below and the per-device body of the
+    data-parallel shard_map sampler (parallel/windowed_dp.py), where each
+    device sees only its LOCAL day-shard of the stacks.
     """
-    full_h, full_w = stacks.lsm.shape
+    full_h, full_w = full_hw
     ch, cw = crop_hw
     if cutout_domains is not None:
         x1, x2, y1, y2 = (int(v) for v in cutout_domains)
@@ -196,8 +193,6 @@ def make_batch_sampler(
         x1, x2, y1, y2 = 0, full_h, 0, full_w
     if ch > x2 - x1 or cw > y2 - y1:
         raise ValueError("Crop size is larger than the rectangle dimensions.")
-    n_days = stacks.n_days
-    n_lr = stacks.lr.shape[-1]
     b = batch_size
 
     def crop_day(stack, day, ox, oy, c):
@@ -256,6 +251,40 @@ def make_batch_sampler(
             out["sdf"] = sdf[..., None].astype(x.dtype)
         return out
 
+    return sample
+
+
+def make_batch_sampler(
+    stacks: DeviceStacks,
+    crop_hw: Tuple[int, int],
+    cutout_domains: Optional[Sequence[int]],
+    batch_size: int,
+    cfg_dropout_prob: float = 0.0,
+    with_sdf: bool = True,
+):
+    """Compiled ``key -> batch`` drawing random days + crops from the stacks.
+
+    Returns batches in the score-model kwargs contract ({x, cond_img,
+    lsm_cond, topo_cond, y, sdf, lsm_hr} — data/loader.py extract_batch's
+    output), entirely on device.
+
+    The stacks enter the jitted program as ARGUMENTS, never as closure
+    captures: a closed-over jax.Array is lowered as an inline MLIR constant,
+    which (a) copies the whole split device->host at trace time — tens of
+    minutes for a 1.4 GiB stack over a remote-platform tunnel — and (b) ships
+    it back inside the compile request. Passing them as args keeps lowering
+    O(metadata) and lets XLA alias the resident buffers.
+    """
+    sample = make_sample_fn(
+        stacks.n_days,
+        tuple(stacks.lsm.shape),
+        stacks.lr.shape[-1],
+        crop_hw,
+        cutout_domains,
+        batch_size,
+        cfg_dropout_prob=cfg_dropout_prob,
+        with_sdf=with_sdf,
+    )
     jitted = jax.jit(sample)
 
     def call(key: jax.Array) -> Dict[str, jax.Array]:
