@@ -156,8 +156,12 @@ class DataHandlingConfig:
     # Staging dtype for window buffers ("float32" | "bfloat16"). bfloat16
     # halves host upload bytes and resident HBM per window; quantization is
     # ~0.4% of a z-scored field's std — the same precision the forward pass
-    # already uses when model.compute_dtype is bfloat16. Default float32.
-    device_window_dtype: str = "float32"
+    # already uses when model.compute_dtype is bfloat16. Default bfloat16:
+    # halving the staging upload bytes is the measured difference between
+    # 0.46x and 0.76x of the fused resident ceiling on the remote-tunnel
+    # host (BASELINE over-HBM table, r5) — fp32 staging collapses dispatch
+    # to ~200-400 samples/s while a window uploads.
+    device_window_dtype: str = "bfloat16"
     # Window composition: "consecutive" (contiguous archive days — sequential
     # host reads, but seasonally correlated windows) or "strided" (each
     # window spans the whole archive with stride n_windows — the per-step
