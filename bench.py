@@ -132,7 +132,7 @@ def _compile(lowered):
     return compile_lowered(lowered)
 
 
-def _preflight(deadline_s: float = 60.0) -> None:
+def _preflight(deadline_s: float | None = None) -> None:
     """Chip-liveness check BEFORE any expensive phase (VERDICT r4 item 1b).
 
     The r4 artifact was all-null because another process held the TPU through
@@ -142,7 +142,14 @@ def _preflight(deadline_s: float = 60.0) -> None:
     The op runs in a worker thread because a hung device call cannot be
     interrupted from Python; on timeout the partial JSON is emitted and the
     process exits 0 (same contract as the watchdog).
+
+    Deadline: the FIRST device contact after a host rotation pays the remote
+    tunnel's cold-start (~90 s measured, r5) — far more than a warm dispatch
+    but finite, unlike the held-chip hang (780 s+ with zero progress). The
+    default 240 s separates the two; ``SBGM_PREFLIGHT_DEADLINE_S`` overrides.
     """
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("SBGM_PREFLIGHT_DEADLINE_S", "240"))
     done = threading.Event()
     err: list = []
 
