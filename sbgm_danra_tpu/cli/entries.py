@@ -137,6 +137,13 @@ def train_main(cfg: Config) -> TrainingPipeline:
 def _load_pipeline_for_sampling(cfg: Config):
     """Rebuild the model and load the best checkpoint (reference
     generation_main.py:72-76)."""
+    import copy
+
+    # Sampling-only pipelines never run the fused train scan; drop the knob so
+    # serving/generation work with host loaders (the fused guard requires a
+    # device-resident train loader, training/pipeline.py).
+    cfg = copy.deepcopy(cfg)
+    cfg.training.fused_steps = 0
     train_loader, _, gen_loader = make_loaders(cfg)
     pipeline = TrainingPipeline(cfg, train_loader, None, mesh=None)
     pipeline.load(best=True)

@@ -44,6 +44,7 @@ def main() -> None:
     cfg = load_config(args.config)
     # Host loader is enough for init shapes; skip staging the split into HBM.
     cfg.data_handling.device_dataset = False
+    cfg.training.fused_steps = 0  # fused scan requires the device loader
     train_loader, _, _ = make_loaders(cfg)
     pipeline = TrainingPipeline(cfg, train_loader, None, mesh=None)
     # Large FINITE sentinel, not inf: json.dump would emit the non-standard

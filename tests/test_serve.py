@@ -50,6 +50,25 @@ def _conditions(hw=(32, 32)):
     }
 
 
+class TestSamplingPipelineLoad:
+    def test_fused_config_loads_with_host_loader(self, trained_env):
+        """Regression: production configs enable training.fused_steps, but the
+        sampling path (serving/generation) runs with host loaders and must not
+        trip the fused-scan device-loader guard (training/pipeline.py) — it
+        never trains. Broke when fused_steps landed in flagship configs (r5)."""
+        import copy
+
+        from sbgm_danra_tpu.cli.entries import _load_pipeline_for_sampling
+
+        cfg = copy.deepcopy(trained_env)
+        cfg.training.fused_steps = 8
+        cfg.data_handling.device_dataset = False
+        pipeline, _ = _load_pipeline_for_sampling(cfg)
+        assert pipeline.cfg.training.fused_steps == 0
+        # the caller's config is untouched (serving reads sampler knobs off it)
+        assert cfg.training.fused_steps == 8
+
+
 class TestInferenceEngine:
     def test_generate_members(self, engine):
         out = engine.generate(_conditions(), n_members=3, seed=1)
