@@ -115,8 +115,9 @@ class GPSampler(HaltonSampler):
 
     Completed trials' unit-cube coordinates and values fit an RBF-kernel GP;
     each new trial maximizes expected improvement over random candidates.
-    Falls back to scrambled Halton until ``n_startup`` trials have completed
-    (and for any dimensions beyond those seen in the history).
+    Falls back to scrambled Halton until ``n_startup`` observations exist
+    (completed or pruned-with-value trials — see Study._observed_units; and
+    for any dimensions beyond those seen in the history).
     """
 
     def __init__(self, seed: int = 0, n_startup: int = 8, n_candidates: int = 512,
@@ -130,7 +131,8 @@ class GPSampler(HaltonSampler):
         self._proposal: Optional[List[float]] = None
 
     def begin_trial(self, trial_id: int, history: List[tuple]) -> None:
-        """history: [(unit_vector, value), ...] of completed trials."""
+        """history: [(unit_vector, value), ...] observations — completed
+        trials plus pruned trials' last reported values (Study._observed_units)."""
         import numpy as np
 
         self._proposal = None
@@ -320,10 +322,19 @@ class Study:
                  time.time(), trial_id + 1),
             )
 
-    def _completed_units(self) -> List[tuple]:
+    def _observed_units(self) -> List[tuple]:
+        """(unit_vector, value) observations for the sampler: completed trials
+        AND pruned trials carrying their last reported value. Excluding pruned
+        trials starves GP-EI under aggressive pruning — in the r5 fair trial
+        the production SuccessiveHalving pruner killed 8/14 trials, completed
+        observations never reached n_startup, and the GP phase degenerated to
+        its quasirandom fallback for every proposal (BASELINE HPO addendum).
+        A prune is a noisy (reduced-fidelity, rung-1) but directionally valid
+        observation of a bad region."""
         with self._conn() as con:
             rows = con.execute(
-                "SELECT units, value FROM trials WHERE state='complete'"
+                "SELECT units, value FROM trials "
+                "WHERE value IS NOT NULL AND state IN ('complete', 'pruned')"
             ).fetchall()
         return [(json.loads(r[0]), r[1]) for r in rows]
 
@@ -340,7 +351,7 @@ class Study:
         for _ in range(n_trials):
             trial = self._create_trial()
             if hasattr(self.sampler, "begin_trial"):
-                self.sampler.begin_trial(trial.trial_id, self._completed_units())
+                self.sampler.begin_trial(trial.trial_id, self._observed_units())
             try:
                 value = objective(trial)
                 self._finish(

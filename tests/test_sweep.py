@@ -166,6 +166,6 @@ class TestGPSampler:
 
         study = Study(str(tmp_path / "u.db"), sampler=GPSampler(seed=0))
         study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=2)
-        units = study._completed_units()
+        units = study._observed_units()
         assert len(units) == 2
         assert all(len(u) == 1 and 0 <= u[0] <= 1 for u, _ in units)
