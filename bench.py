@@ -169,9 +169,11 @@ def _preflight(deadline_s: float | None = None) -> None:
     if not done.wait(deadline_s):
         _log(
             "PREFLIGHT FAILED: device unresponsive after "
-            f"{deadline_s:.0f}s — another process may hold the TPU "
-            "(this platform allows one holder; check `ps` for stray "
-            "python runs). Emitting null result."
+            f"{deadline_s:.0f}s — either another process holds the TPU "
+            "(this platform allows one holder; check `ps` for stray python "
+            "runs) or the remote platform is in an outage/rotation window "
+            "(observed 2026-08-21 ~02:50: >25 min unresponsive with zero "
+            "local holders — retry later). Emitting null result."
         )
         _RESULT["error"] = "device unresponsive (preflight timeout)"
         _emit("preflight-timeout")
