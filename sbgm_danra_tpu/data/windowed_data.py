@@ -37,6 +37,14 @@ its only recorded training run died on a mid-epoch zarr read timeout
 (models_and_samples/trained_models/logs/train_log_20250716_122502.log); here
 mid-epoch IO is asynchronous and a slow read can only ever slow training,
 never kill it.
+
+Measured (BASELINE r5): throughput — bf16 staging sustains 0.91x the eager
+resident ceiling on a single-link remote host (over-HBM table); quality —
+at equal steps, consecutive windows over a 3,680-day archive BEAT training
+on the largest resident subset on val loss/CRPS/RMSE (windowed-quality
+table, docs/artifacts/windowed_quality_r5.json), i.e. the shuffle-buffer
+distribution change is quality-positive against the realistic alternative;
+the "strided" layout is measured unnecessary at production swap cadence.
 """
 
 from __future__ import annotations
